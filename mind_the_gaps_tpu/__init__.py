@@ -1,0 +1,55 @@
+"""mind_the_gaps_tpu — TPU-native (quasi-)periodicity detection in
+irregularly-sampled astronomical lightcurves.
+
+A ground-up JAX/XLA re-design of the capabilities of
+``andresgur/mind_the_gaps`` (GP modelling with celerite-style kernels,
+TK95/E13 lightcurve simulation, ensemble MCMC, Protassov et al. 2002
+posterior-predictive likelihood-ratio tests), built TPU-first:
+
+- the celerite O(N) semiseparable Cholesky factorization is a pure-JAX
+  ``lax.scan`` / associative-scan kernel with autodiff support,
+- the affine-invariant ensemble sampler is fully vectorized so
+  (simulations x walkers) log-likelihoods evaluate as one batched kernel,
+- the Timmer & Koenig / Emmanoulopoulos simulators run as batched
+  on-device FFTs,
+- batch axes (walkers, bootstrap simulations, kernel hypotheses) shard
+  across a ``jax.sharding.Mesh`` via ``shard_map``/``NamedSharding``.
+
+Precision: GP likelihood parity with celerite requires float64
+(see reference gpmodelling.py:54 — celerite computes in double).  Importing
+this package enables JAX x64 mode unless ``MTG_TPU_X64=0`` is set.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+if os.environ.get("MTG_TPU_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from mind_the_gaps_tpu.lightcurves import (  # noqa: E402
+    GappyLightcurve,
+    SimpleLightcurve,
+    SwiftLightcurve,
+    FermiLightcurve,
+)
+
+__all__ = [
+    "GappyLightcurve",
+    "SimpleLightcurve",
+    "SwiftLightcurve",
+    "FermiLightcurve",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # lazy: avoid importing the heavy inference stack at package import
+    if name == "GPModelling":
+        from mind_the_gaps_tpu.gpmodelling import GPModelling
+
+        return GPModelling
+    raise AttributeError(f"module 'mind_the_gaps_tpu' has no attribute {name!r}")

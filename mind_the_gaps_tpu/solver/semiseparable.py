@@ -1,0 +1,274 @@
+"""O(N R^2) celerite semiseparable Cholesky factorization in pure JAX.
+
+The celerite covariance matrix
+
+    K_nm = delta_nm (yerr_n^2 + jitter) + k(|t_n - t_m|),
+    k(tau) = sum_r a_r e^{-c_r tau}
+           + sum_c e^{-c_c tau} (a_c cos(d_c tau) + b_c sin(d_c tau))
+
+is (R = Jr + 2 Jc)-semiseparable: K = diag(A) + tril(U Wt) + triu(W Ut)
+with exponential inter-step decay factors P.  Its LDL^T Cholesky factor
+follows a first-order recursion in n (Foreman-Mackey et al. 2017, Sec. 5;
+"Scalable backpropagation for Gaussian Processes using celerite"), which we
+express as ``jax.lax.scan`` over the time axis:
+
+- work-efficient O(N R^2) per likelihood, exactly what the hardware needs
+  when the batch axis (walkers x bootstrap simulations) carries the
+  parallelism: each scan step is a fully-vectorized VPU op across the
+  batch, so thousands of likelihoods advance in lock-step per time step.
+- reverse-mode differentiable out of the box (scan transposes to the
+  O(N) adjoint recursion of the celerite backprop paper).
+
+Numerical notes:
+- float64 throughout (TPU emulates f64 on the VPU; all ops here are
+  elementwise/small-R contractions, no MXU needed) — required for the
+  1e-8 parity contract with celerite (BASELINE.md).
+- times are shifted by t[0] before building trig arguments: k depends
+  only on differences, and small arguments keep cos/sin fully accurate.
+- a non-positive pivot D_n (covariance not PD for these parameters) makes
+  the log-likelihood -inf instead of raising, which composes with vmap and
+  matches how a failed celerite factorization is treated by samplers.
+
+Replaces: celerite's C++/Eigen solver used at reference gpmodelling.py:51-54,
+152-169, 366.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "CeleriteMatrices",
+    "build_matrices",
+    "factor",
+    "log_likelihood",
+    "solve",
+    "predict_mean",
+    "predict",
+]
+
+
+class CeleriteMatrices(NamedTuple):
+    """Semiseparable representation of K.
+
+    U, V: (N, R) generator matrices; P: (N, R) decay factors between
+    consecutive points (row 0 is ones); A: (N,) diagonal of K.
+    """
+
+    U: jnp.ndarray
+    V: jnp.ndarray
+    P: jnp.ndarray
+    A: jnp.ndarray
+
+
+def build_matrices(coeffs, t, diag) -> CeleriteMatrices:
+    """Assemble U, V, P, A from celerite coefficients.
+
+    Parameters
+    ----------
+    coeffs : kernels.Coefficients (ar, cr, ac, bc, cc, dc)
+    t : (N,) sorted timestamps
+    diag : (N,) per-point variance to add to the diagonal
+        (yerr^2 + jitter, cf. reference gpmodelling.py:54 which calls
+        gp.compute(times, dy + 1e-12) => diag = (dy + 1e-12)^2).
+    """
+    ar, cr, ac, bc, cc, dc = coeffs
+    t = jnp.asarray(t)
+    tc = t - t[0]  # shift-invariant; keeps trig arguments small
+    dt = jnp.diff(t, prepend=t[:1])  # dt[0] = 0 -> P row 0 = 1
+
+    blocks_U, blocks_V, blocks_P = [], [], []
+    if ar.shape[0]:
+        ones = jnp.ones_like(tc)[:, None]
+        blocks_U.append(ar[None, :] * ones)
+        blocks_V.append(jnp.broadcast_to(ones, (tc.shape[0], ar.shape[0])))
+        blocks_P.append(jnp.exp(-cr[None, :] * dt[:, None]))
+    if ac.shape[0]:
+        arg = dc[None, :] * tc[:, None]
+        cos, sin = jnp.cos(arg), jnp.sin(arg)
+        U1 = ac[None, :] * cos + bc[None, :] * sin
+        U2 = ac[None, :] * sin - bc[None, :] * cos
+        Pc = jnp.exp(-cc[None, :] * dt[:, None])
+        # interleave the (cos, sin) column pairs per complex term
+        N, Jc = cos.shape
+        blocks_U.append(jnp.stack([U1, U2], axis=-1).reshape(N, 2 * Jc))
+        blocks_V.append(jnp.stack([cos, sin], axis=-1).reshape(N, 2 * Jc))
+        blocks_P.append(jnp.stack([Pc, Pc], axis=-1).reshape(N, 2 * Jc))
+
+    U = jnp.concatenate(blocks_U, axis=1)
+    V = jnp.concatenate(blocks_V, axis=1)
+    P = jnp.concatenate(blocks_P, axis=1)
+    A = jnp.asarray(diag) + jnp.sum(ar) + jnp.sum(ac)
+    A = jnp.broadcast_to(A, tc.shape) if A.ndim == 0 else A
+    return CeleriteMatrices(U, V, P, A)
+
+
+def factor(m: CeleriteMatrices):
+    """LDL^T factorization: returns (D, W, ok).
+
+    D: (N,) pivots; W: (N, R) such that L = I + tril_strict(U W^T with P
+    decay); ok: scalar bool, True iff all pivots are positive.
+    """
+    U, V, P, A = m
+    R = U.shape[1]
+
+    D0 = A[0]
+    W0 = V[0] / D0
+    S0 = jnp.zeros((R, R), dtype=U.dtype)
+
+    def step(carry, inp):
+        S, D_prev, W_prev = carry
+        Un, Vn, Pn, An = inp
+        S = (Pn[:, None] * Pn[None, :]) * (S + D_prev * jnp.outer(W_prev, W_prev))
+        SU = S @ Un
+        D = An - Un @ SU
+        W = (Vn - SU) / D
+        return (S, D, W), (D, W)
+
+    (_, _, _), (D_rest, W_rest) = jax.lax.scan(
+        step, (S0, D0, W0), (U[1:], V[1:], P[1:], A[1:])
+    )
+    D = jnp.concatenate([D0[None], D_rest])
+    W = jnp.concatenate([W0[None], W_rest])
+    ok = jnp.all(D > 0.0)
+    return D, W, ok
+
+
+def log_likelihood(coeffs, t, y, diag, mean=0.0):
+    """Gaussian log-likelihood with a single fused scan.
+
+    Fuses the factorization with the forward substitution L z = r so only
+    scalars + R-vectors are carried — minimal HBM traffic for large
+    (walkers x sims) batches.  Returns -inf when K is not positive
+    definite for these coefficients.
+    """
+    m = build_matrices(coeffs, t, diag)
+    U, V, P, A = m
+    r = jnp.asarray(y) - mean
+    R = U.shape[1]
+
+    D0 = A[0]
+    W0 = V[0] / D0
+    z0 = r[0]
+    init = (
+        jnp.zeros((R, R), dtype=U.dtype),  # S
+        D0,
+        W0,
+        jnp.zeros((R,), dtype=U.dtype),  # f (forward substitution state)
+        z0,
+        jnp.log(jnp.abs(D0)),  # sum log D
+        z0 * z0 / D0,  # quadratic form
+        D0 > 0.0,  # positive-definite flag
+    )
+
+    def step(carry, inp):
+        S, D_prev, W_prev, f_prev, z_prev, logdet, quad, ok = carry
+        Un, Vn, Pn, An, rn = inp
+        S = (Pn[:, None] * Pn[None, :]) * (S + D_prev * jnp.outer(W_prev, W_prev))
+        SU = S @ Un
+        D = An - Un @ SU
+        W = (Vn - SU) / D
+        f = Pn * (f_prev + W_prev * z_prev)
+        z = rn - Un @ f
+        logdet = logdet + jnp.log(jnp.abs(D))
+        quad = quad + z * z / D
+        ok = ok & (D > 0.0)
+        return (S, D, W, f, z, logdet, quad, ok), None
+
+    (_, _, _, _, _, logdet, quad, ok), _ = jax.lax.scan(
+        step, init, (U[1:], V[1:], P[1:], A[1:], r[1:])
+    )
+    n = r.shape[0]
+    ll = -0.5 * (quad + logdet + n * math.log(2.0 * math.pi))
+    return jnp.where(ok, ll, -jnp.inf)
+
+
+def solve(m: CeleriteMatrices, D, W, b):
+    """Solve K x = b given the factorization (D, W): forward then backward
+    substitution, each an O(N R) scan."""
+    U, V, P, A = m
+    R = U.shape[1]
+
+    # forward: L z = b
+    def fwd(carry, inp):
+        f_prev, z_prev, W_prev = carry
+        Un, Pn, Wn, bn = inp
+        f = Pn * (f_prev + W_prev * z_prev)
+        z = bn - Un @ f
+        return (f, z, Wn), z
+
+    z0 = b[0]
+    (_, _, _), z_rest = jax.lax.scan(
+        fwd,
+        (jnp.zeros((R,), dtype=U.dtype), z0, W[0]),
+        (U[1:], P[1:], W[1:], b[1:]),
+    )
+    z = jnp.concatenate([z0[None], z_rest])
+    zd = z / D
+
+    # backward: L^T x = z / D
+    def bwd(carry, inp):
+        g_prev, x_prev, U_prev = carry
+        Wn, Pn1, Un, zdn = inp
+        g = Pn1 * (g_prev + U_prev * x_prev)
+        x = zdn - Wn @ g
+        return (g, x, Un), x
+
+    xN = zd[-1]
+    (_, _, _), x_rest = jax.lax.scan(
+        bwd,
+        (jnp.zeros((R,), dtype=U.dtype), xN, U[-1]),
+        (W[:-1][::-1], P[1:][::-1], U[:-1][::-1], zd[:-1][::-1]),
+    )
+    return jnp.concatenate([xN[None], x_rest])[::-1]
+
+
+def predict_mean(coeffs, t, y, diag, jitter=0.0, mean=0.0):
+    """GP predictive mean at the training points.
+
+    With K = K_s + diag(s) (s = yerr^2 + jitter; K_s the noiseless kernel
+    matrix): mu = mean + K_s K^{-1} r = y - s * (K^{-1} r).  O(N R^2).
+    """
+    m = build_matrices(coeffs, t, diag)
+    D, W, _ = factor(m)
+    r = jnp.asarray(y) - mean
+    alpha = solve(m, D, W, r)
+    s = jnp.asarray(diag)
+    return jnp.asarray(y) - s * alpha
+
+
+def predict(coeffs, t, y, diag, mean=0.0):
+    """Predictive mean and variance at the training points.
+
+    var_n = s_n - s_n^2 (K^{-1})_{nn}  with s_n the per-point noise
+    variance (diag argument).  diag(K^{-1}) is currently computed by
+    dense Cholesky — acceptable for the diagnostic use in
+    standarized_residuals (reference gpmodelling.py:353-370); an
+    O(N R^2) selected-inverse recursion is the planned upgrade.
+    """
+    m = build_matrices(coeffs, t, diag)
+    D, W, _ = factor(m)
+    r = jnp.asarray(y) - mean
+    alpha = solve(m, D, W, r)
+    s = jnp.asarray(diag)
+    mu = jnp.asarray(y) - s * alpha
+
+    # dense diag(K^{-1})
+    tau = jnp.abs(jnp.asarray(t)[:, None] - jnp.asarray(t)[None, :])
+    ar, cr, ac, bc, cc, dc = coeffs
+    K = jnp.zeros_like(tau)
+    if ar.shape[0]:
+        K = K + jnp.sum(ar * jnp.exp(-cr * tau[..., None]), axis=-1)
+    if ac.shape[0]:
+        K = K + jnp.sum(
+            jnp.exp(-cc * tau[..., None])
+            * (ac * jnp.cos(dc * tau[..., None]) + bc * jnp.sin(dc * tau[..., None])),
+            axis=-1,
+        )
+    K = K + jnp.diag(s)  # kernel diag already equals k(0); add noise variance
+    Kinv_diag = jnp.diagonal(jnp.linalg.inv(K))
+    var = s - s**2 * Kinv_diag
+    return mu, var

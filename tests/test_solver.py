@@ -1,0 +1,206 @@
+"""Parity tests: semiseparable O(N R^2) solver vs dense O(N^2) Cholesky.
+
+This is the correctness contract of the whole framework: the celerite
+log-likelihood must be reproduced to 1e-8 rtol (BASELINE.md).  The dense
+ground truth here is computed in *pure numpy/scipy* (fully independent of
+JAX) from the closed-form covariance function — the same validation
+contract the original celerite C++ solver uses.
+"""
+import math
+import zlib
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+import jax
+import jax.numpy as jnp
+
+from mind_the_gaps_tpu.kernels import (
+    BendingPowerlaw,
+    ComplexTerm,
+    Cosinus,
+    DampedRandomWalk,
+    JitterTerm,
+    Lorentzian,
+    Matern32Term,
+    RealTerm,
+    SHOTerm,
+)
+from mind_the_gaps_tpu.solver import (
+    log_likelihood,
+    build_matrices,
+    factor,
+    solve,
+    predict,
+)
+
+
+def _irregular_times(n, seed=0, span=100.0):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, span, n))
+    t += np.arange(n) * 1e-9
+    return t
+
+
+def _np_covariance(term, t, diag):
+    """Dense covariance in pure numpy from the term's closed form."""
+    tau = np.abs(t[:, None] - t[None, :])
+    ar, cr, ac, bc, cc, dc = (np.asarray(x) for x in term.coefficients())
+    K = np.zeros_like(tau)
+    if ar.size:
+        K += np.sum(ar * np.exp(-cr * tau[..., None]), axis=-1)
+    if ac.size:
+        e = np.exp(-cc * tau[..., None])
+        K += np.sum(e * (ac * np.cos(dc * tau[..., None]) + bc * np.sin(dc * tau[..., None])), axis=-1)
+    return K + np.diag(diag)
+
+
+def _np_loglike(term, t, y, diag):
+    K = _np_covariance(term, t, diag)
+    L = scipy.linalg.cholesky(K, lower=True)
+    z = scipy.linalg.solve_triangular(L, y, lower=True)
+    return -0.5 * (z @ z + 2.0 * np.sum(np.log(np.diag(L))) + len(y) * math.log(2 * math.pi))
+
+
+def _fast_loglike(term, t, y, diag):
+    fn = jax.jit(lambda th: log_likelihood(term.coefficients(th), t, y, diag))
+    return float(fn(jnp.asarray(term.get_parameter_vector())))
+
+
+TERMS = [
+    ("real", RealTerm(log_a=0.3, log_c=-1.2)),
+    ("complex", ComplexTerm(log_a=0.1, log_b=-2.0, log_c=-1.0, log_d=0.5)),
+    ("sho_under", SHOTerm(log_S0=0.2, log_Q=1.3, log_omega0=-0.5)),
+    ("sho_over", SHOTerm(log_S0=0.2, log_Q=-1.5, log_omega0=-0.5)),
+    ("matern32", Matern32Term(log_sigma=0.4, log_rho=1.1)),
+    ("lorentzian", Lorentzian(log_S0=0.0, log_Q=1.6, log_omega0=-0.8)),
+    ("cosinus", Cosinus(log_S0=-0.3, log_omega0=-0.7)),
+    ("drw", DampedRandomWalk(log_S0=0.5, log_omega0=-1.5)),
+    ("bpl", BendingPowerlaw(log_S0=0.5, log_Q=-0.5, log_omega0=-1.2)),
+    ("drw+lor", DampedRandomWalk(0.5, -1.5) + Lorentzian(0.0, 1.6, -0.8)),
+    ("drw+jitter", DampedRandomWalk(0.5, -1.5) + JitterTerm(log_sigma=-0.5)),
+    (
+        "three",
+        RealTerm(0.3, -1.2) + SHOTerm(0.2, 1.3, -0.5) + Cosinus(-0.3, -0.7),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,term", TERMS, ids=[n for n, _ in TERMS])
+def test_loglike_parity(name, term):
+    n = 257
+    t = _irregular_times(n, seed=zlib.crc32(name.encode()))
+    rng = np.random.default_rng(42)
+    y = rng.normal(0.0, 1.0, n)
+    yerr = rng.uniform(0.05, 0.2, n)
+    diag = (yerr + 1e-12) ** 2 + float(term.jitter())
+
+    ll_fast = _fast_loglike(term, t, y, diag)
+    ll_ref = _np_loglike(term, t, y, diag)
+    np.testing.assert_allclose(ll_fast, ll_ref, rtol=1e-8)
+
+
+def test_loglike_parity_large_n():
+    term = DampedRandomWalk(0.5, -1.5) + Lorentzian(0.0, 1.6, -0.8)
+    n = 2000
+    t = _irregular_times(n, seed=7, span=5000.0)
+    rng = np.random.default_rng(3)
+    y = rng.normal(0.0, 1.0, n)
+    yerr = rng.uniform(0.05, 0.2, n)
+    ll_fast = _fast_loglike(term, t, y, yerr**2)
+    ll_ref = _np_loglike(term, t, y, yerr**2)
+    np.testing.assert_allclose(ll_fast, ll_ref, rtol=1e-8)
+
+
+def test_solve_and_logdet_parity():
+    term = SHOTerm(0.2, 1.3, -0.5) + RealTerm(0.3, -1.2)
+    n = 300
+    t = _irregular_times(n, seed=11)
+    rng = np.random.default_rng(5)
+    y = rng.normal(0.0, 1.0, n)
+    yerr = rng.uniform(0.05, 0.2, n)
+    diag = yerr**2
+
+    @jax.jit
+    def run(theta, yv):
+        m = build_matrices(term.coefficients(theta), t, diag)
+        D, W, ok = factor(m)
+        return solve(m, D, W, yv), jnp.sum(jnp.log(D)), ok
+
+    x, logdet, ok = run(jnp.asarray(term.get_parameter_vector()), jnp.asarray(y))
+    assert bool(ok)
+
+    K = _np_covariance(term, t, diag)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(K, y), rtol=1e-7, atol=1e-9)
+    sign, logdet_ref = np.linalg.slogdet(K)
+    assert sign > 0
+    np.testing.assert_allclose(float(logdet), logdet_ref, rtol=1e-8)
+
+
+def test_non_positive_definite_returns_neginf():
+    # complex term with b*d > a*c is not positive definite
+    term = ComplexTerm(log_a=0.1, log_b=1.5, log_c=-1.0, log_d=0.5)
+    t = np.linspace(0, 50, 200)
+    y = np.zeros(200)
+    ll = _fast_loglike(term, t, y, np.full(200, 1e-16))
+    assert ll == -np.inf
+
+
+def test_gradients_finite():
+    term = DampedRandomWalk(0.5, -1.5) + Lorentzian(0.0, 1.6, -0.8)
+    n = 128
+    t = _irregular_times(n, seed=2)
+    rng = np.random.default_rng(8)
+    y = rng.normal(0.0, 1.0, n)
+    diag = np.full(n, 0.01)
+
+    nll = jax.jit(lambda th: -log_likelihood(term.coefficients(th), t, y, diag))
+    grad = jax.jit(jax.grad(lambda th: -log_likelihood(term.coefficients(th), t, y, diag)))
+
+    theta0 = jnp.asarray(term.get_parameter_vector())
+    g = np.asarray(grad(theta0))
+    assert np.all(np.isfinite(g))
+
+    eps = 1e-6
+    for i in range(theta0.shape[0]):
+        fd = (float(nll(theta0.at[i].add(eps))) - float(nll(theta0.at[i].add(-eps)))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-4, atol=1e-6)
+
+
+def test_predict_against_dense():
+    term = DampedRandomWalk(0.5, -1.5)
+    n = 150
+    t = _irregular_times(n, seed=21)
+    rng = np.random.default_rng(13)
+    y = rng.normal(0.0, 1.0, n)
+    yerr = rng.uniform(0.1, 0.3, n)
+    diag = yerr**2
+
+    fn = jax.jit(lambda th: predict(term.coefficients(th), t, y, diag))
+    mu, var = fn(jnp.asarray(term.get_parameter_vector()))
+
+    K = _np_covariance(term, t, diag)
+    K_s = K - np.diag(diag)
+    alpha = np.linalg.solve(K, y)
+    mu_ref = K_s @ alpha
+    var_ref = float(term.variance()) - np.einsum("ij,jk,ik->i", K_s, np.linalg.inv(K), K_s)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), var_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_vmap_over_parameters():
+    term = DampedRandomWalk(0.5, -1.5)
+    n = 100
+    t = _irregular_times(n, seed=31)
+    rng = np.random.default_rng(17)
+    y = rng.normal(0.0, 1.0, n)
+    diag = np.full(n, 0.01)
+
+    thetas = jnp.asarray(rng.normal(0.0, 0.3, (16, 2))) + jnp.asarray([0.5, -1.5])
+
+    ll = lambda th: log_likelihood(term.coefficients(th), t, y, diag)
+    batched = jax.jit(jax.vmap(ll))(thetas)
+    single = jax.jit(ll)
+    for i in range(16):
+        np.testing.assert_allclose(float(batched[i]), float(single(thetas[i])), rtol=1e-10)
