@@ -1,0 +1,112 @@
+"""Mean models for the GP.
+
+Rebuild of reference mind_the_gaps/models/mean_models.py:6-38 plus the
+celerite ConstantModel used by GPModelling._build_mean_model
+(gpmodelling.py:83-96).  Functional style matching the kernel terms:
+static structure (names/bounds) + pure ``value(t, theta)``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "MeanModel",
+    "ConstantModel",
+    "LinearModel",
+    "GaussianModel",
+    "SineModel",
+    "TwoSineModel",
+]
+
+
+class MeanModel:
+    parameter_names: Tuple[str, ...] = ()
+
+    def __init__(self, *args, bounds: Optional[Sequence[Tuple]] = None, **kwargs):
+        values = dict(zip(self.parameter_names, args))
+        values.update(kwargs)
+        missing = [n for n in self.parameter_names if n not in values]
+        if missing:
+            raise TypeError(f"Missing parameters {missing} for {type(self).__name__}")
+        self._values = np.array([float(values[n]) for n in self.parameter_names])
+        if bounds is None:
+            bounds = [(None, None)] * len(self.parameter_names)
+        self._bounds = [
+            (-np.inf if lo is None else float(lo), np.inf if hi is None else float(hi))
+            for lo, hi in bounds
+        ]
+
+    @property
+    def ndim(self) -> int:
+        return len(self.parameter_names)
+
+    def get_parameter_names(self):
+        return tuple(self.parameter_names)
+
+    def get_parameter_vector(self):
+        return self._values.copy()
+
+    def set_parameter_vector(self, theta):
+        self._values = np.asarray(theta, dtype=float).copy()
+
+    def get_parameter_bounds(self):
+        return list(self._bounds)
+
+    def log_prior(self, theta=None):
+        if theta is None:
+            theta = jnp.asarray(self._values)
+        theta = jnp.asarray(theta)
+        lo = jnp.asarray([b[0] for b in self._bounds], dtype=theta.dtype)
+        hi = jnp.asarray([b[1] for b in self._bounds], dtype=theta.dtype)
+        return jnp.where(jnp.all((theta >= lo) & (theta <= hi)), 0.0, -jnp.inf)
+
+    def value(self, t, theta):
+        raise NotImplementedError
+
+
+class ConstantModel(MeanModel):
+    parameter_names = ("value",)
+
+    def value(self, t, theta):
+        return jnp.broadcast_to(theta[0], jnp.asarray(t).shape)
+
+
+class LinearModel(MeanModel):
+    """slope * t + intercept (reference mean_models.py:24-31)."""
+
+    parameter_names = ("slope", "intercept")
+
+    def value(self, t, theta):
+        return theta[0] * jnp.asarray(t) + theta[1]
+
+
+class GaussianModel(MeanModel):
+    """Gaussian bump + constant (reference mean_models.py:6-10; the
+    reference class has no constant in its 3-parameter form used by
+    GPModelling, so constant defaults to 0)."""
+
+    parameter_names = ("mean", "sigma", "amplitude")
+
+    def value(self, t, theta):
+        mean, sigma, amplitude = theta[0], theta[1], theta[2]
+        t = jnp.asarray(t)
+        return amplitude / (2 * jnp.pi * sigma) * jnp.exp(-((t - mean) ** 2) / (2 * sigma**2))
+
+
+class SineModel(MeanModel):
+    parameter_names = ("constant", "amplitude", "frequency", "phase")
+
+    def value(self, t, theta):
+        return theta[0] + theta[1] * jnp.sin(theta[2] * jnp.asarray(t) + theta[3])
+
+
+class TwoSineModel(MeanModel):
+    parameter_names = ("constant", "amplitude0", "phase0", "amplitude1", "phase1", "frequency")
+
+    def value(self, t, theta):
+        t = jnp.asarray(t)
+        c, a0, p0, a1, p1, f = (theta[i] for i in range(6))
+        return c + a0 * jnp.sin(f * t + p0) + a1 * jnp.sin(2 * f * t + p1)
