@@ -1,0 +1,558 @@
+"""GP inference engine: the main user-facing API.
+
+API-parity rebuild of reference mind_the_gaps/gpmodelling.py:23-539 on the
+TPU-native stack:
+
+- celerite.GP -> solver.semiseparable (jitted fused-scan likelihood),
+- emcee.EnsembleSampler + multiprocessing.Pool -> sampler.ensemble
+  (vectorized stretch move; one batched kernel per MCMC step),
+- scipy L-BFGS-B MAP fit kept on host but driven by jax value_and_grad,
+- generate_from_posteriors: the posterior-predictive lightcurve fan-out
+  (reference Pool.map at :511-512) becomes one vmapped device program
+  over all parameter draws.
+
+Parameter vector convention: kernel parameters first, then mean-model
+parameters when the mean is fitted.
+"""
+from __future__ import annotations
+
+import warnings
+from typing import List, Optional, Tuple
+
+import numpy as np
+from scipy.optimize import minimize
+
+import jax
+import jax.numpy as jnp
+
+from mind_the_gaps_tpu.lightcurves import GappyLightcurve
+from mind_the_gaps_tpu.models.mean_models import (
+    ConstantModel,
+    GaussianModel,
+    LinearModel,
+    MeanModel,
+)
+from mind_the_gaps_tpu.sampler import integrated_autocorr_time, sample_ensemble
+from mind_the_gaps_tpu.solver import log_likelihood as solver_log_likelihood
+from mind_the_gaps_tpu.solver import predict as solver_predict
+
+__all__ = ["GPModelling"]
+
+
+class ChainResult:
+    """Minimal sampler-result shim exposing the pieces of
+    emcee.EnsembleSampler the reference relies on (get_chain /
+    get_log_prob with discard/thin/flat, iteration)."""
+
+    def __init__(self, chain: np.ndarray, log_probs: np.ndarray):
+        self._chain = chain  # (n_steps, walkers, ndim)
+        self._log_probs = log_probs  # (n_steps, walkers)
+
+    @property
+    def iteration(self) -> int:
+        return self._chain.shape[0]
+
+    def get_chain(self, discard: int = 0, thin: int = 1, flat: bool = False):
+        c = self._chain[discard::max(thin, 1)]
+        if flat:
+            return c.reshape(-1, c.shape[-1])
+        return c
+
+    def get_log_prob(self, discard: int = 0, thin: int = 1, flat: bool = False):
+        lp = self._log_probs[discard::max(thin, 1)]
+        if flat:
+            return lp.reshape(-1)
+        return lp
+
+    def get_autocorr_time(self, tol: int = 0):
+        return np.asarray(integrated_autocorr_time(jnp.asarray(self._chain)))
+
+
+class GPModelling:
+    """The interface for Gaussian Process modelling of a GappyLightcurve.
+
+    Mirrors reference GPModelling (gpmodelling.py:23): fit(),
+    derive_posteriors(), generate_from_posteriors(),
+    standarized_residuals(), get_rstat() and the result properties.
+    """
+
+    meanmodels = ["linear", "constant", "gaussian"]
+
+    def __init__(self, lightcurve: GappyLightcurve, kernel, mean_model: Optional[str] = None):
+        self._lightcurve = lightcurve
+        self.kernel = kernel
+        meanmodel, fit_mean = self._build_mean_model(mean_model)
+        self.mean_model = meanmodel
+        self.fit_mean = fit_mean
+
+        self._t = jnp.asarray(lightcurve.times)
+        self._y = jnp.asarray(lightcurve.y)
+        dy = lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n)
+        # celerite adds 1e-12 to dy before squaring (gpmodelling.py:54)
+        self._diag_base = jnp.asarray((np.asarray(dy) + 1e-12) ** 2)
+
+        self._nk = kernel.ndim
+        self._nm = meanmodel.ndim if fit_mean else 0
+        self._ndim = self._nk + self._nm
+
+        if fit_mean:
+            self.initial_params = np.concatenate(
+                [kernel.get_parameter_vector(), meanmodel.get_parameter_vector()]
+            )
+        else:
+            self.initial_params = kernel.get_parameter_vector()
+
+        self._autocorr = []
+        self._loglikelihoods = None
+        self._mcmc_samples = None
+        self._sampler = None
+        self._tau = None
+        self.converged = False
+        self._key = jax.random.key(np.random.SeedSequence().entropy % (2**63))
+
+        self._build_functions()
+        # validate the kernel at the initial parameters (the reference's
+        # gp.compute would raise here for an invalid kernel)
+        ll0 = float(self._loglike_jit(jnp.asarray(self.initial_params)))
+        if not np.isfinite(ll0):
+            warnings.warn("GP log-likelihood is not finite at the initial parameters")
+
+    # ------------------------------------------------------------------ #
+    def _build_mean_model(self, meanmodel: Optional[str]) -> Tuple[MeanModel, bool]:
+        """Reference heuristics (gpmodelling.py:62-124) for mean-model
+        construction and initial guesses."""
+        lc = self._lightcurve
+        maxy = np.max(lc.y)
+
+        if meanmodel is None:
+            return ConstantModel(lc.mean, bounds=[(np.min(lc.y), maxy)]), False
+
+        if meanmodel.lower() not in GPModelling.meanmodels:
+            raise ValueError(
+                "Input mean model %s not implemented! Only \n %s \n are available"
+                % (meanmodel, "\t".join(GPModelling.meanmodels))
+            )
+
+        if meanmodel.lower() == "constant":
+            return ConstantModel(lc.mean, bounds=[(np.min(lc.y), maxy)]), True
+
+        if meanmodel.lower() == "linear":
+            return LinearModel(0, 1.5, bounds=[(None, None), (None, None)]), True
+
+        # gaussian
+        sigma_guess = lc.duration / 2
+        amplitude_guess = (maxy - np.min(lc.y)) * np.sqrt(2 * np.pi) * sigma_guess
+        mean_guess = lc.times[len(lc.times) // 2]
+        meanmodel_obj = GaussianModel(
+            mean_guess,
+            sigma_guess,
+            amplitude_guess,
+            bounds=[
+                (lc.times[0], lc.times[-1]),
+                (0, lc.duration),
+                (maxy * np.sqrt(2 * np.pi) * lc.duration, 50 * maxy * np.sqrt(2 * np.pi) * lc.duration),
+            ],
+        )
+        return meanmodel_obj, True
+
+    # ------------------------------------------------------------------ #
+    def _build_functions(self):
+        kernel = self.kernel
+        mean_model = self.mean_model
+        fit_mean = self.fit_mean
+        nk = self._nk
+        t = self._t
+        y = self._y
+        diag_base = self._diag_base
+        mean_const = (
+            None if fit_mean else jnp.asarray(mean_model.get_parameter_vector())
+        )
+
+        def split(theta):
+            return theta[:nk], theta[nk:]
+
+        def loglike(theta):
+            th_k, th_m = split(theta)
+            mean = mean_model.value(t, th_m if fit_mean else mean_const)
+            coeffs = kernel.coefficients(th_k)
+            diag = diag_base + kernel.jitter(th_k)
+            return solver_log_likelihood(coeffs, t, y - mean, diag)
+
+        def log_prior(theta):
+            th_k, th_m = split(theta)
+            lp = kernel.log_prior(th_k)
+            if fit_mean:
+                lp = lp + mean_model.log_prior(th_m)
+            return lp
+
+        def log_prob(theta):
+            lp = log_prior(theta)
+            ll = loglike(theta)
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+        self._loglike_fn = loglike
+        self._logprob_fn = log_prob
+        self._loglike_jit = jax.jit(loglike)
+        self._logprob_jit = jax.jit(log_prob)
+        self._logprob_batch = jax.jit(jax.vmap(log_prob))
+        self._nll_and_grad = jax.jit(jax.value_and_grad(lambda th: -loglike(th)))
+
+    # ------------------------------------------------------------------ #
+    def get_parameter_bounds(self) -> List[Tuple[float, float]]:
+        bounds = list(self.kernel.get_parameter_bounds())
+        if self.fit_mean:
+            bounds += list(self.mean_model.get_parameter_bounds())
+        return bounds
+
+    @property
+    def parameter_names(self):
+        names = ["kernel:" + n for n in self.kernel.get_parameter_names()]
+        if self.fit_mean:
+            names += ["mean:" + n for n in self.mean_model.get_parameter_names()]
+        return tuple(names)
+
+    def set_parameter_vector(self, theta) -> None:
+        """Set kernel (+ mean) parameters from a flat vector — the
+        equivalent of the reference's gp.set_parameter_vector."""
+        theta = np.asarray(theta, dtype=float)
+        self.kernel.set_parameter_vector(theta[: self._nk])
+        if self.fit_mean:
+            self.mean_model.set_parameter_vector(theta[self._nk :])
+
+    def get_parameter_vector(self) -> np.ndarray:
+        if self.fit_mean:
+            return np.concatenate(
+                [self.kernel.get_parameter_vector(), self.mean_model.get_parameter_vector()]
+            )
+        return self.kernel.get_parameter_vector()
+
+    def _log_probability(self, params) -> float:
+        """Scalar log-posterior (host convenience, reference
+        gpmodelling.py:127-152)."""
+        return float(self._logprob_jit(jnp.asarray(params, dtype=jnp.float64)))
+
+    def _neg_log_like(self, params) -> float:
+        return -float(self._loglike_jit(jnp.asarray(params, dtype=jnp.float64)))
+
+    # ------------------------------------------------------------------ #
+    def fit(self, initial_params=None):
+        """MAP fit with L-BFGS-B under the parameter bounds
+        (reference gpmodelling.py:172-194), with exact jax gradients."""
+        if initial_params is None:
+            initial_params = self.initial_params
+
+        def fun(x):
+            v, g = self._nll_and_grad(jnp.asarray(x))
+            v = float(v)
+            g = np.asarray(g, dtype=float)
+            if not np.isfinite(v):
+                return 1e25, np.zeros_like(g)
+            return v, np.where(np.isfinite(g), g, 0.0)
+
+        bounds = [
+            (None if not np.isfinite(lo) else lo, None if not np.isfinite(hi) else hi)
+            for lo, hi in ((float(b[0]), float(b[1])) for b in self.get_parameter_bounds())
+        ]
+        return minimize(fun, np.asarray(initial_params, dtype=float), jac=True, method="L-BFGS-B", bounds=bounds)
+
+    # ------------------------------------------------------------------ #
+    def spread_walkers(self, walkers, parameters, bounds, percent=0.1, max_attempts=20):
+        """Gaussian ball around ``parameters`` clipped into bounds;
+        faithful to reference gpmodelling.py:289-350 (including the
+        1.05x/0.95x clamping of persistent out-of-bounds walkers)."""
+        if percent < 0 or percent > 1:
+            raise ValueError("The 'percent' parameter must be between 0 and 1 (inclusive).")
+        parameters = np.asarray(parameters, dtype=float)
+        std = np.abs(parameters) * percent
+        initial_samples = np.random.normal(parameters, std, size=(walkers, len(parameters)))
+        bounds = np.array(
+            [
+                (-np.inf if lower is None else lower, np.inf if upper is None else upper)
+                for lower, upper in bounds
+            ]
+        )
+        factors_lower = np.where(bounds[:, 0] > 0, 1.05, 0.95)
+        factors_upper = np.where(bounds[:, 1] > 0, 0.95, 1.05)
+
+        for i in range(walkers):
+            attempt = 0
+            for attempt in range(max_attempts):
+                if np.all(
+                    np.logical_and(bounds[:, 0] <= initial_samples[i], initial_samples[i] <= bounds[:, 1])
+                ):
+                    break
+                initial_samples[i] = np.random.normal(parameters, std)
+            if attempt == max_attempts - 1:
+                warnings.warn("Some walkers are out of bounds! Setting them to values close to the bounds")
+                out_lower = initial_samples[i] < bounds[:, 0]
+                out_upper = initial_samples[i] > bounds[:, 1]
+                initial_samples[i][out_lower] = (bounds[:, 0] * factors_lower)[out_lower]
+                initial_samples[i][out_upper] = (bounds[:, 1] * factors_upper)[out_upper]
+        return initial_samples
+
+    # ------------------------------------------------------------------ #
+    def derive_posteriors(
+        self,
+        initial_chain_params=None,
+        fit: bool = True,
+        converge: bool = True,
+        max_steps: int = 10000,
+        convergence_steps: int = 500,
+        walkers: int = 12,
+        cores: int = 6,  # kept for API parity; parallelism is on-device
+        progress: bool = False,
+        seed: Optional[int] = None,
+    ):
+        """Ensemble MCMC with the reference's convergence policy
+        (gpmodelling.py:197-286): every ``convergence_steps`` compute the
+        autocorrelation time tau; stop once iteration > 100*tau and
+        |dtau|/tau < 1%; then discard/thin by the 40tau (10tau if over
+        budget) / tau/2 rules, or 5tau / tau/4 when unconverged."""
+        if initial_chain_params is None:
+            if not fit:
+                initial_params = self.initial_params
+            else:
+                solution = self.fit(self.initial_params)
+                initial_params = solution.x
+            initial_chain_params = self.spread_walkers(
+                walkers, initial_params, np.array(self.get_parameter_bounds(), dtype=object)
+            )
+        initial_chain_params = np.asarray(initial_chain_params, dtype=float)
+        walkers = initial_chain_params.shape[0]
+
+        if seed is not None:
+            self._key = jax.random.key(seed)
+
+        old_tau = np.inf
+        self.converged = False
+        self._autocorr = []
+
+        chains, lps = [], []
+        state = jnp.asarray(initial_chain_params)
+        iteration = 0
+        tau = np.full(self._ndim, np.inf)
+        while iteration < max_steps:
+            steps = min(convergence_steps, max_steps - iteration)
+            self._key, sub = jax.random.split(self._key)
+            chain, lp, acc, state = sample_ensemble(sub, self._logprob_batch, state, steps)
+            chains.append(np.asarray(chain))
+            lps.append(np.asarray(lp))
+            iteration += steps
+            if progress:
+                print(f"step {iteration}/{max_steps} (accept {float(acc):.2f})", flush=True)
+
+            full_chain = np.concatenate(chains)
+            tau = np.asarray(integrated_autocorr_time(jnp.asarray(full_chain)))
+            self._autocorr.append(np.mean(tau))
+
+            if (
+                np.all(tau * 100 < iteration)
+                and np.all(np.abs(old_tau - tau) / tau < 0.01)
+                and converge
+            ):
+                if progress:
+                    print("Convergence reached after %d samples!" % iteration)
+                self.converged = True
+                break
+            old_tau = tau
+
+        sampler = ChainResult(np.concatenate(chains), np.concatenate(lps))
+        self._tau = tau
+        mean_tau = np.mean(tau)
+
+        if not self.converged:
+            warnings.warn(f"The chains did not converge after {sampler.iteration} iterations!")
+            thin = max(int(mean_tau / 4), 1)
+            discard = int(mean_tau) * 5
+        else:
+            discard = int(mean_tau * 40)
+            if discard > max_steps:
+                discard = int(mean_tau * 10)
+            thin = max(int(mean_tau / 2), 1)
+        discard = min(discard, sampler.iteration - 1)
+
+        self._loglikelihoods = sampler.get_log_prob(discard=discard, thin=thin, flat=True)
+        self._mcmc_samples = sampler.get_chain(discard=discard, thin=thin, flat=True)
+        self._sampler = sampler
+
+    # ------------------------------------------------------------------ #
+    def standarized_residuals(self, include_noise: bool = True, parameters=None):
+        """(y - mu)/sqrt(var) at the training points (Kelly+2011 Eq. 49;
+        reference gpmodelling.py:353-370).  Set ``parameters`` (or rely on
+        the kernel's current vector) before calling."""
+        theta = (
+            np.asarray(parameters, dtype=float)
+            if parameters is not None
+            else np.concatenate(
+                [self.kernel.get_parameter_vector()]
+                + ([self.mean_model.get_parameter_vector()] if self.fit_mean else [])
+            )
+        )
+        th_k = jnp.asarray(theta[: self._nk])
+        th_m = (
+            jnp.asarray(theta[self._nk:])
+            if self.fit_mean
+            else jnp.asarray(self.mean_model.get_parameter_vector())
+        )
+        mean = self.mean_model.value(self._t, th_m)
+        coeffs = self.kernel.coefficients(th_k)
+        jitter = self.kernel.jitter(th_k)
+        diag = self._diag_base + jitter
+        mu_res, var = solver_predict(coeffs, self._t, self._y - mean, diag)
+        pred_mean = mu_res + mean
+        # predict() returns the noise-free variance s - s^2 Kinv; convert
+        # to the GP predictive variance at the training points:
+        # var_gp = k(0) - ks Kinv ks = var  (same quantity)
+        pred_var = var
+        if include_noise:
+            pred_var = pred_var + jitter
+        std_res = (np.asarray(self._y) - np.asarray(pred_mean)) / np.sqrt(np.asarray(pred_var))
+        return std_res
+
+    def get_rstat(self, burnin: Optional[int] = None):
+        """Gelman-Rubin-style ratio per walker/parameter (faithful to the
+        reference's formula at gpmodelling.py:373-403)."""
+        if self._sampler is None:
+            raise ValueError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to populate the attributes."
+            )
+        if burnin is None:
+            burnin = int(np.mean(self.tau)) * 10
+        samples = self._sampler.get_chain(discard=burnin)
+        within_chain_variances = np.var(samples, axis=0)
+        flat = self._sampler.get_chain(flat=True, discard=burnin)
+        between_chain_variances = np.var(flat, axis=0)
+        return within_chain_variances / between_chain_variances[np.newaxis, :]
+
+    # ------------------------------------------------------------------ #
+    @property
+    def loglikelihoods(self):
+        if self._loglikelihoods is None:
+            raise AttributeError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to populate the attributes."
+            )
+        return self._loglikelihoods
+
+    @property
+    def autocorr(self):
+        return self._autocorr
+
+    @property
+    def sampler(self):
+        if self._loglikelihoods is None:
+            raise AttributeError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to populate the attributes."
+            )
+        return self._sampler
+
+    @property
+    def mcmc_samples(self):
+        if self._mcmc_samples is None:
+            raise AttributeError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to populate the attributes."
+            )
+        return self._mcmc_samples
+
+    @property
+    def max_loglikelihood(self):
+        if self._loglikelihoods is None:
+            raise AttributeError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to populate the attributes."
+            )
+        return np.max(self._loglikelihoods)
+
+    @property
+    def max_parameters(self):
+        if self._mcmc_samples is None:
+            raise AttributeError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to populate the attributes."
+            )
+        return self._mcmc_samples[np.argmax(self._loglikelihoods)]
+
+    @property
+    def median_parameters(self):
+        if self._mcmc_samples is None:
+            raise AttributeError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to populate the attributes."
+            )
+        return np.median(self._mcmc_samples, axis=0)
+
+    @property
+    def k(self) -> int:
+        return self._ndim
+
+    @property
+    def tau(self):
+        if self._mcmc_samples is None:
+            raise AttributeError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to populate the attributes."
+            )
+        return self._tau
+
+    # ------------------------------------------------------------------ #
+    def generate_from_posteriors(
+        self,
+        nsims: int = 10,
+        cpus: int = 8,  # API parity; the fan-out is on-device
+        pdf: str = "Gaussian",
+        extension_factor: int = 2,
+        sigma_noise=None,
+        seed: Optional[int] = None,
+    ):
+        """Posterior-predictive lightcurves, batched on device
+        (reference gpmodelling.py:478-539).
+
+        Returns a list of GappyLightcurve like the reference.
+        """
+        if self._mcmc_samples is None:
+            raise RuntimeError(
+                "Posteriors have not been derived. Please run derive_posteriors prior to calling this method."
+            )
+        if nsims >= len(self._mcmc_samples):
+            warnings.warn(
+                "The number of simulation requested (%d) is higher than the number of posterior samples (%d), so many samples will be drawn more than once"
+                % (nsims, len(self._mcmc_samples))
+            )
+        rates, dy = self.generate_batch_from_posteriors(
+            nsims, pdf=pdf, extension_factor=extension_factor, sigma_noise=sigma_noise, seed=seed
+        )
+        times = self._lightcurve.times
+        return [GappyLightcurve(times, np.asarray(r), np.asarray(e)) for r, e in zip(rates, dy)]
+
+    def generate_batch_from_posteriors(
+        self,
+        nsims: int,
+        pdf: str = "Gaussian",
+        extension_factor: int = 2,
+        sigma_noise=None,
+        seed: Optional[int] = None,
+    ):
+        """Array-returning batched version: (nsims, n) rates and errors."""
+        if seed is not None:
+            self._key = jax.random.key(seed)
+        self._key, k_pick, k_sim, k_noise = jax.random.split(self._key, 4)
+
+        idx = np.asarray(
+            jax.random.randint(k_pick, (nsims,), 0, len(self._mcmc_samples))
+        )
+        param_samples = np.asarray(self._mcmc_samples)[idx]
+
+        simulator = self._lightcurve.get_simulator(
+            self.kernel.get_psd, pdf, sigma_noise=sigma_noise, extension_factor=extension_factor
+        )
+        omega = jnp.asarray(simulator.omega)
+        nk = self._nk
+        kernel = self.kernel
+
+        @jax.jit
+        def psd_batch(thetas):
+            def one(theta):
+                vals = kernel.get_psd(omega[1:], theta[:nk])
+                return jnp.concatenate([jnp.zeros((1,), dtype=vals.dtype), vals])
+
+            return jax.vmap(one)(thetas)
+
+        psd_values = psd_batch(jnp.asarray(param_samples))
+        rates = simulator.simulate_batch(k_sim, psd_values)
+        noisy, dy = simulator.add_noise_batch(k_noise, rates)
+        return np.asarray(noisy), np.asarray(dy)

@@ -1,0 +1,229 @@
+"""The Protassov et al. (2002) posterior-predictive likelihood-ratio test,
+fully batched.
+
+The reference leaves this pipeline to notebooks
+(docs/notebooks/tutorial_ppp.ipynb; call stack in SURVEY.md §3.4):
+
+1. fit the null and alternative GP models to the observed lightcurve
+   (MCMC posteriors),
+2. simulate ``nsims`` synthetic lightcurves from the null posteriors,
+3. re-fit BOTH models to every synthetic lightcurve and record each
+   fit's maximum log-likelihood,
+4. T = -2 (logL_null - logL_alt); the p-value is the tail fraction of
+   the simulated T distribution at the observed T.
+
+Step 3 — the reference's wall-clock killer, run one process per
+lightcurve — is here one jitted program: (nsims x walkers) stretch-move
+chains advance in lock-step, each step evaluating the O(N) scan
+likelihood for every (simulation, walker) pair at once, sharded over the
+device mesh on the simulation axis.  Only the running max log-likelihood
+is kept (O(1) memory in steps).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mind_the_gaps_tpu.gpmodelling import GPModelling
+from mind_the_gaps_tpu.lightcurves import GappyLightcurve
+from mind_the_gaps_tpu.parallel import default_mesh, shard_batch
+from mind_the_gaps_tpu.sampler.ensemble import max_loglike_ensemble_impl
+from mind_the_gaps_tpu.solver import log_likelihood as solver_log_likelihood
+
+__all__ = ["LRTResult", "protassov_lrt", "fit_lightcurves_batch", "percentile_of_score"]
+
+
+def percentile_of_score(dist, score) -> float:
+    """scipy.stats.percentileofscore(kind='rank') equivalent."""
+    dist = np.asarray(dist)
+    n = len(dist)
+    left = np.count_nonzero(dist < score)
+    right = np.count_nonzero(dist <= score)
+    return (left + right + (1 if right > left else 0)) * 50.0 / n
+
+
+@dataclass
+class LRTResult:
+    t_obs: float
+    t_dist: np.ndarray
+    p_value: float
+    null_model: GPModelling
+    alt_model: GPModelling
+    null_sim_loglikes: np.ndarray
+    alt_sim_loglikes: np.ndarray
+    sim_rates: np.ndarray = field(repr=False, default=None)
+    sim_dy: np.ndarray = field(repr=False, default=None)
+
+
+def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0):
+    """Build the jitted (B-batched) short-MCMC max-loglikelihood program
+    for one kernel over fixed timestamps.
+
+    Per simulated lightcurve the model is GPModelling(lc, kernel) with the
+    default constant (unfitted) mean = mean(y) — exactly what the
+    reference's bootstrap loop constructs (tutorial_ppp.ipynb; SURVEY.md
+    §3.4 step 5).
+    """
+    nk = kernel.ndim
+    t = jnp.asarray(t)
+    lo = jnp.asarray([b[0] for b in kernel.get_parameter_bounds()])
+    hi = jnp.asarray([b[1] for b in kernel.get_parameter_bounds()])
+
+    def log_prob_single(theta, y, diag):
+        lp = kernel.log_prior(theta)
+        mean = jnp.mean(y)
+        ll = solver_log_likelihood(kernel.coefficients(theta), t, y - mean, diag)
+        return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
+    def one_sim(key, y, diag, theta0, percent):
+        k_init, k_run = jax.random.split(key)
+        std = jnp.abs(theta0) * percent
+        init = theta0 + std * jax.random.normal(k_init, (walkers, nk), dtype=theta0.dtype)
+        # clip into bounds (the reference resamples/clamps; a clip to the
+        # 5%-inset bound has the same effect for chain initialization)
+        span_lo = jnp.where(jnp.isfinite(lo), lo + 0.05 * jnp.abs(lo), -jnp.inf)
+        span_hi = jnp.where(jnp.isfinite(hi), hi - 0.05 * jnp.abs(hi), jnp.inf)
+        init = jnp.clip(init, span_lo, span_hi)
+        lp_fn = lambda thetas: jax.vmap(lambda th: log_prob_single(th, y, diag))(thetas)
+        best_lp, best_x, _, _ = max_loglike_ensemble_impl(k_run, lp_fn, init, n_steps, a)
+        return best_lp, best_x
+
+    @jax.jit
+    def batched(key, ys, diags, theta0, percent):
+        keys = jax.random.split(key, ys.shape[0])
+        return jax.vmap(lambda k, y, d: one_sim(k, y, d, theta0, percent))(keys, ys, diags)
+
+    return batched
+
+
+def fit_lightcurves_batch(
+    key,
+    kernel,
+    times,
+    ys,
+    dys,
+    theta0,
+    walkers: int = 16,
+    n_steps: int = 500,
+    percent: float = 0.1,
+    chunk: int = 512,
+    use_mesh: bool = True,
+):
+    """Max log-likelihood of ``kernel`` fit to each of B lightcurves
+    sharing ``times``: short ensemble MCMC per lightcurve, batched.
+
+    Returns (best_loglikes (B,), best_params (B, D)).
+    """
+    ys = np.asarray(ys, dtype=np.float64)
+    dys = np.asarray(dys, dtype=np.float64)
+    diags = (dys + 1e-12) ** 2
+    B = ys.shape[0]
+    theta0 = jnp.asarray(theta0, dtype=jnp.float64)
+
+    runner = _make_batched_max_loglike(kernel, times, n_steps, walkers)
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if use_mesh and n_dev > 1:
+        mesh = default_mesh()
+
+    best_lls, best_xs = [], []
+    for start in range(0, B, chunk):
+        yb = ys[start : start + chunk]
+        db = diags[start : start + chunk]
+        nb = yb.shape[0]
+        if mesh is not None:
+            # pad to a multiple of the device count, shard the batch axis
+            rem = (-nb) % n_dev
+            if rem:
+                yb = np.concatenate([yb, yb[:rem]])
+                db = np.concatenate([db, db[:rem]])
+            yb = shard_batch(jnp.asarray(yb), mesh)
+            db = shard_batch(jnp.asarray(db), mesh)
+        key, sub = jax.random.split(key)
+        lls, xs = runner(sub, jnp.asarray(yb), jnp.asarray(db), theta0, percent)
+        best_lls.append(np.asarray(lls)[:nb])
+        best_xs.append(np.asarray(xs)[:nb])
+    return np.concatenate(best_lls), np.concatenate(best_xs)
+
+
+def protassov_lrt(
+    lightcurve: GappyLightcurve,
+    null_kernel,
+    alt_kernel,
+    nsims: int = 1000,
+    pdf: str = "Gaussian",
+    sigma_noise=None,
+    extension_factor: int = 2,
+    observed_max_steps: int = 10000,
+    observed_walkers: int = 32,
+    sim_max_steps: int = 500,
+    sim_walkers: int = 16,
+    chunk: int = 512,
+    seed: int = 0,
+    fit_observed: bool = True,
+    null_model: Optional[GPModelling] = None,
+    alt_model: Optional[GPModelling] = None,
+    progress: bool = False,
+) -> LRTResult:
+    """Run the full Protassov LRT (SURVEY.md §3.4) end to end.
+
+    Pass pre-fit ``null_model``/``alt_model`` (with posteriors derived) to
+    skip step 1.
+    """
+    key = jax.random.key(seed)
+
+    # 1. observed fits
+    if null_model is None:
+        null_model = GPModelling(lightcurve, null_kernel)
+        null_model.derive_posteriors(
+            max_steps=observed_max_steps, walkers=observed_walkers, progress=progress
+        )
+    if alt_model is None:
+        alt_model = GPModelling(lightcurve, alt_kernel)
+        alt_model.derive_posteriors(
+            max_steps=observed_max_steps, walkers=observed_walkers, progress=progress
+        )
+
+    t_obs = -2.0 * (null_model.max_loglikelihood - alt_model.max_loglikelihood)
+
+    # 2. posterior-predictive simulations from the null
+    sim_rates, sim_dy = null_model.generate_batch_from_posteriors(
+        nsims, pdf=pdf, extension_factor=extension_factor, sigma_noise=sigma_noise, seed=seed + 1
+    )
+
+    # 3. refit both models to every simulation (the batched hot loop)
+    key, k_null, k_alt = jax.random.split(key, 3)
+    theta0_null = null_model.max_parameters[: null_kernel.ndim]
+    theta0_alt = alt_model.max_parameters[: alt_kernel.ndim]
+    null_lls, _ = fit_lightcurves_batch(
+        k_null, null_kernel, lightcurve.times, sim_rates, sim_dy, theta0_null,
+        walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk,
+    )
+    alt_lls, _ = fit_lightcurves_batch(
+        k_alt, alt_kernel, lightcurve.times, sim_rates, sim_dy, theta0_alt,
+        walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk,
+    )
+
+    # 4. T distribution and p-value (reference nb: percentileofscore)
+    t_dist = -2.0 * (null_lls - alt_lls)
+    p_value = 1.0 - percentile_of_score(t_dist, t_obs) / 100.0
+
+    return LRTResult(
+        t_obs=float(t_obs),
+        t_dist=t_dist,
+        p_value=float(p_value),
+        null_model=null_model,
+        alt_model=alt_model,
+        null_sim_loglikes=null_lls,
+        alt_sim_loglikes=alt_lls,
+        sim_rates=sim_rates,
+        sim_dy=sim_dy,
+    )
