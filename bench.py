@@ -42,11 +42,15 @@ def main():
     )
     theta0 = jnp.asarray(kernel.get_parameter_vector())
 
-    batch = 4096  # simulations x walkers evaluated per sweep
+    batch = 16384  # simulations x walkers evaluated per sweep
+
+    from mind_the_gaps_tpu.solver.batched import batched_log_likelihood
 
     @jax.jit
     def sweep(thetas):
-        return jax.vmap(lambda th: log_likelihood(kernel.coefficients(th), t, y, diag))(thetas)
+        return batched_log_likelihood(
+            jax.vmap(kernel.coefficients)(thetas), t, y, diag, unroll=1
+        )
 
     thetas = theta0 + 0.05 * jax.random.normal(
         jax.random.key(1), (batch, theta0.shape[0]), dtype=theta0.dtype
@@ -55,7 +59,7 @@ def main():
     # compile + warmup
     sweep(thetas).block_until_ready()
 
-    reps = 5
+    reps = 3
     start = time.perf_counter()
     for _ in range(reps):
         out = sweep(thetas)

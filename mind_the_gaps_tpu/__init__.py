@@ -52,4 +52,12 @@ def __getattr__(name):
         from mind_the_gaps_tpu.gpmodelling import GPModelling
 
         return GPModelling
+    if name == "Simulator":
+        from mind_the_gaps_tpu.simulator import Simulator
+
+        return Simulator
+    if name == "protassov_lrt":
+        from mind_the_gaps_tpu.lrt import protassov_lrt
+
+        return protassov_lrt
     raise AttributeError(f"module 'mind_the_gaps_tpu' has no attribute {name!r}")

@@ -190,11 +190,32 @@ class GPModelling:
             ll = loglike(theta)
             return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
+        # batch-native log-prob: thetas (W, D) -> (W,), with the batch
+        # axis riding the VPU lanes (solver/batched.py layout)
+        from mind_the_gaps_tpu.solver.batched import batched_log_likelihood
+
+        def log_prob_batch(thetas):
+            th_k = thetas[:, :nk]
+            coeffs = jax.vmap(kernel.coefficients)(th_k)
+            lp = jax.vmap(kernel.log_prior)(th_k)
+            jitter = jax.vmap(kernel.jitter)(th_k)
+            if fit_mean:
+                th_m = thetas[:, nk:]
+                means = jax.vmap(lambda tm: mean_model.value(t, tm))(th_m)  # (W, N)
+                lp = lp + jax.vmap(mean_model.log_prior)(th_m)
+            else:
+                means = mean_model.value(t, mean_const)  # (N,) shared
+                means = jnp.broadcast_to(means, (thetas.shape[0], t.shape[0]))
+            ll = batched_log_likelihood(
+                coeffs, t, y, diag_base, mean=means, extra_diag=jitter
+            )
+            return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+
         self._loglike_fn = loglike
         self._logprob_fn = log_prob
         self._loglike_jit = jax.jit(loglike)
         self._logprob_jit = jax.jit(log_prob)
-        self._logprob_batch = jax.jit(jax.vmap(log_prob))
+        self._logprob_batch = jax.jit(log_prob_batch)
         self._nll_and_grad = jax.jit(jax.value_and_grad(lambda th: -loglike(th)))
 
     # ------------------------------------------------------------------ #

@@ -63,42 +63,90 @@ class LRTResult:
 
 
 def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0):
-    """Build the jitted (B-batched) short-MCMC max-loglikelihood program
+    """Build the jitted grouped-batch short-MCMC max-loglikelihood program
     for one kernel over fixed timestamps.
 
     Per simulated lightcurve the model is GPModelling(lc, kernel) with the
     default constant (unfitted) mean = mean(y) — exactly what the
     reference's bootstrap loop constructs (tutorial_ppp.ipynb; SURVEY.md
     §3.4 step 5).
+
+    Layout: all (G simulations x W walkers) stretch-move chains advance
+    in lock-step; every half-ensemble update evaluates one
+    (G*W/2)-element batched likelihood with the batch on the VPU lanes
+    (solver/batched.py).
     """
+    from mind_the_gaps_tpu.solver.batched import batched_log_prob_fn
+
     nk = kernel.ndim
     t = jnp.asarray(t)
     lo = jnp.asarray([b[0] for b in kernel.get_parameter_bounds()])
     hi = jnp.asarray([b[1] for b in kernel.get_parameter_bounds()])
+    half = walkers // 2
+    if 2 * half != walkers:
+        raise ValueError("walkers must be even")
 
-    def log_prob_single(theta, y, diag):
-        lp = kernel.log_prior(theta)
-        mean = jnp.mean(y)
-        ll = solver_log_likelihood(kernel.coefficients(theta), t, y - mean, diag)
-        return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+    @jax.jit
+    def batched(key, ys, diags, theta0, percent):
+        G = ys.shape[0]
+        log_prob_half = batched_log_prob_fn(kernel, t, ys, diags, repeats=half)
 
-    def one_sim(key, y, diag, theta0, percent):
+        def lp_eval(thetas_gwd):  # (G, half, D) -> (G, half)
+            return log_prob_half(thetas_gwd.reshape(G * half, nk)).reshape(G, half)
+
         k_init, k_run = jax.random.split(key)
         std = jnp.abs(theta0) * percent
-        init = theta0 + std * jax.random.normal(k_init, (walkers, nk), dtype=theta0.dtype)
+        init = theta0 + std * jax.random.normal(k_init, (G, walkers, nk), dtype=theta0.dtype)
         # clip into bounds (the reference resamples/clamps; a clip to the
         # 5%-inset bound has the same effect for chain initialization)
         span_lo = jnp.where(jnp.isfinite(lo), lo + 0.05 * jnp.abs(lo), -jnp.inf)
         span_hi = jnp.where(jnp.isfinite(hi), hi - 0.05 * jnp.abs(hi), jnp.inf)
         init = jnp.clip(init, span_lo, span_hi)
-        lp_fn = lambda thetas: jax.vmap(lambda th: log_prob_single(th, y, diag))(thetas)
-        best_lp, best_x, _, _ = max_loglike_ensemble_impl(k_run, lp_fn, init, n_steps, a)
-        return best_lp, best_x
 
-    @jax.jit
-    def batched(key, ys, diags, theta0, percent):
-        keys = jax.random.split(key, ys.shape[0])
-        return jax.vmap(lambda k, y, d: one_sim(k, y, d, theta0, percent))(keys, ys, diags)
+        def half_update(key, active, passive, logp_active):
+            # active/passive: (G, half, D); logp_active: (G, half)
+            k_z, k_pick, k_acc = jax.random.split(key, 3)
+            u = jax.random.uniform(k_z, (G, half), dtype=init.dtype)
+            z = ((a - 1.0) * u + 1.0) ** 2 / a
+            picks = jax.random.randint(k_pick, (G, half), 0, half)
+            partners = jnp.take_along_axis(passive, picks[..., None], axis=1)
+            proposal = partners + z[..., None] * (active - partners)
+            logp_new = lp_eval(proposal)
+            log_accept = (nk - 1.0) * jnp.log(z) + logp_new - logp_active
+            accept = jnp.log(jax.random.uniform(k_acc, (G, half), dtype=init.dtype)) < log_accept
+            new_active = jnp.where(accept[..., None], proposal, active)
+            new_logp = jnp.where(accept, logp_new, logp_active)
+            return new_active, new_logp
+
+        logp0 = jnp.concatenate(
+            [lp_eval(init[:, :half]), lp_eval(init[:, half:])], axis=1
+        )
+
+        def step(carry, key):
+            state, logp, best_lp, best_x = carry
+            k1, k2 = jax.random.split(key)
+            first, second = state[:, :half], state[:, half:]
+            lp1, lp2 = logp[:, :half], logp[:, half:]
+            first, lp1 = half_update(k1, first, second, lp1)
+            second, lp2 = half_update(k2, second, first, lp2)
+            state = jnp.concatenate([first, second], axis=1)
+            logp = jnp.concatenate([lp1, lp2], axis=1)
+            i = jnp.argmax(logp, axis=1)  # (G,)
+            cand_lp = jnp.take_along_axis(logp, i[:, None], axis=1)[:, 0]
+            cand_x = jnp.take_along_axis(state, i[:, None, None], axis=1)[:, 0]
+            better = cand_lp > best_lp
+            best_lp = jnp.where(better, cand_lp, best_lp)
+            best_x = jnp.where(better[:, None], cand_x, best_x)
+            return (state, logp, best_lp, best_x), None
+
+        i0 = jnp.argmax(logp0, axis=1)
+        best_lp0 = jnp.take_along_axis(logp0, i0[:, None], axis=1)[:, 0]
+        best_x0 = jnp.take_along_axis(init, i0[:, None, None], axis=1)[:, 0]
+        keys = jax.random.split(k_run, n_steps)
+        (state, logp, best_lp, best_x), _ = jax.lax.scan(
+            step, (init, logp0, best_lp0, best_x0), keys
+        )
+        return best_lp, best_x
 
     return batched
 
