@@ -1,0 +1,87 @@
+"""Kernel model selection.
+
+The workflow of the reference's tutorial_model_selection.ipynb as one
+function: fit each candidate kernel with MCMC, then rank by corrected
+Akaike weights and check goodness of fit with a KS test on the
+standardized residuals (Kelly et al. 2011 diagnostics).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy.stats import kstest, norm
+
+from mind_the_gaps_tpu.gpmodelling import GPModelling
+from mind_the_gaps_tpu.lightcurves import GappyLightcurve
+from mind_the_gaps_tpu.stats import aicc
+
+__all__ = ["ModelComparison", "compare_models"]
+
+
+@dataclass
+class ModelComparison:
+    name: str
+    model: GPModelling
+    max_loglikelihood: float
+    k: int
+    aicc: float
+    delta_aicc: float
+    akaike_weight: float
+    ks_statistic: float
+    ks_pvalue: float
+
+
+def compare_models(
+    lightcurve: GappyLightcurve,
+    kernels: Dict[str, object],
+    mean_model: Optional[str] = None,
+    max_steps: int = 10000,
+    walkers: int = 32,
+    converge: bool = True,
+    progress: bool = False,
+    seed: Optional[int] = None,
+) -> List[ModelComparison]:
+    """Fit every kernel and rank by AICc (smallest first).
+
+    Returns a list of ModelComparison with Akaike weights normalized over
+    the candidate set and the KS p-value of the standardized residuals at
+    the maximum-likelihood parameters.
+    """
+    fits = []
+    for i, (name, kernel) in enumerate(kernels.items()):
+        gp = GPModelling(lightcurve, kernel, mean_model=mean_model)
+        gp.derive_posteriors(
+            max_steps=max_steps,
+            walkers=walkers,
+            converge=converge,
+            progress=progress,
+            seed=None if seed is None else seed + i,
+        )
+        ll = float(gp.max_loglikelihood)
+        a = float(aicc(ll, lightcurve.n, gp.k))
+        res = gp.standarized_residuals(parameters=gp.max_parameters)
+        ks = kstest(res, norm.cdf)
+        fits.append((name, gp, ll, a, ks))
+
+    amin = min(f[3] for f in fits)
+    rel = [np.exp(-0.5 * (f[3] - amin)) for f in fits]
+    total = sum(rel)
+
+    out = [
+        ModelComparison(
+            name=name,
+            model=gp,
+            max_loglikelihood=ll,
+            k=gp.k,
+            aicc=a,
+            delta_aicc=a - amin,
+            akaike_weight=r / total,
+            ks_statistic=float(ks.statistic),
+            ks_pvalue=float(ks.pvalue),
+        )
+        for (name, gp, ll, a, ks), r in zip(fits, rel)
+    ]
+    out.sort(key=lambda m: m.aicc)
+    return out
