@@ -23,12 +23,17 @@ def _next_pow_two(n: int) -> int:
 
 
 def autocorr_function(x):
-    """Normalized autocorrelation of a 1-D series via FFT."""
+    """Normalized autocorrelation of a 1-D series via FFT.
+
+    Computed in float32: TPU FFTs support complex64 only, and tau
+    estimation needs no more precision.
+    """
     n = x.shape[0]
     m = 2 * _next_pow_two(n)
-    xc = x - jnp.mean(x)
+    xc = (x - jnp.mean(x)).astype(jnp.float32)
     f = jnp.fft.fft(xc, n=m)
     acf = jnp.fft.ifft(f * jnp.conj(f))[:n].real
+    acf = acf.astype(x.dtype)
     return acf / acf[0]
 
 

@@ -71,11 +71,13 @@ def tk95_rates(key, psd_values, n_fft: int, dt: float):
     nf = n_fft // 2 + 1
     re, im = jax.random.normal(key, (2, nf), dtype=psd_values.dtype)
     amp = jnp.sqrt(0.5 * psd_values)
-    fft = (re[1:] + 1j * im[1:]) * amp[1:]
+    # FFT in complex64: TPU FFTs do not support c128; the draw is
+    # statistical, so f32 spectral precision is ample.
+    fft = ((re[1:] + 1j * im[1:]) * amp[1:]).astype(jnp.complex64)
     if n_fft % 2 == 0:
-        fft = fft.at[-1].set(fft[-1].real)
+        fft = fft.at[-1].set(fft[-1].real.astype(jnp.complex64))
     fft = jnp.concatenate([jnp.asarray([1e6 + 0j], dtype=fft.dtype), fft])
-    counts = jnp.fft.irfft(fft, n=n_fft)
+    counts = jnp.fft.irfft(fft, n=n_fft).astype(psd_values.dtype)
     rate = counts * (math.sqrt(n_fft * dt * _SQRT_2PI) / dt)
     return rate
 
@@ -92,11 +94,14 @@ def e13_adjust(key, segment_rates, pdf: str, mean, max_iter: int, std=None, rtol
     namp = m // 2 + 1
     sample_std = jnp.std(segment_rates) if std is None else std
     xsim = sample_pdf(key, pdf, mean, sample_std, (m,))
-    amplitudes_norm = jnp.abs(jnp.fft.rfft(segment_rates)) / namp
+    # FFTs in f32/c64 (TPU supports c64 only).  The spectrum is used for
+    # phases and for the ORDERING of the adjusted series; the output
+    # values themselves are the exact (full-precision) sorted PDF draws.
+    amplitudes_norm = jnp.abs(jnp.fft.rfft(segment_rates.astype(jnp.float32))) / namp
 
     def spectral_step(x):
-        phases = jnp.angle(jnp.fft.rfft(x))
-        adj = jnp.fft.irfft(amplitudes_norm * jnp.exp(1j * phases), n=m)
+        phases = jnp.angle(jnp.fft.rfft(x.astype(jnp.float32)))
+        adj = jnp.fft.irfft(amplitudes_norm * jnp.exp(1j * phases), n=m).astype(x.dtype)
         # rank-order remap: adjusted series takes the sorted values of x
         order = jnp.argsort(-adj)
         return jnp.zeros_like(adj).at[order].set(-jnp.sort(-x))
