@@ -511,6 +511,37 @@ class GPModelling:
         return self._tau
 
     # ------------------------------------------------------------------ #
+    # checkpoint / resume (the reference persists intermediates between
+    # pipeline stages as .dat files, docs/workflow.md:43-92; here the
+    # full sampler state round-trips through one npz)
+    # ------------------------------------------------------------------ #
+    def save_posteriors(self, path: str) -> None:
+        """Persist the full MCMC state (chain, log-probs, tau, thinned
+        samples) to an .npz checkpoint."""
+        if self._sampler is None:
+            raise RuntimeError("Posteriors have not been derived; nothing to save.")
+        np.savez_compressed(
+            path,
+            chain=self._sampler._chain,
+            log_probs=self._sampler._log_probs,
+            tau=self._tau,
+            converged=np.asarray(self.converged),
+            autocorr=np.asarray(self._autocorr),
+            mcmc_samples=self._mcmc_samples,
+            loglikelihoods=self._loglikelihoods,
+        )
+
+    def load_posteriors(self, path: str) -> None:
+        """Restore sampler state saved by save_posteriors."""
+        data = np.load(path)
+        self._sampler = ChainResult(data["chain"], data["log_probs"])
+        self._tau = data["tau"]
+        self.converged = bool(data["converged"])
+        self._autocorr = list(data["autocorr"])
+        self._mcmc_samples = data["mcmc_samples"]
+        self._loglikelihoods = data["loglikelihoods"]
+
+    # ------------------------------------------------------------------ #
     def generate_from_posteriors(
         self,
         nsims: int = 10,

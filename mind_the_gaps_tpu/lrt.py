@@ -62,7 +62,7 @@ class LRTResult:
     sim_dy: np.ndarray = field(repr=False, default=None)
 
 
-def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0):
+def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0, dtype=None):
     """Build the jitted grouped-batch short-MCMC max-loglikelihood program
     for one kernel over fixed timestamps.
 
@@ -89,19 +89,23 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
     @jax.jit
     def batched(key, ys, diags, theta0, percent):
         G = ys.shape[0]
-        log_prob_half = batched_log_prob_fn(kernel, t, ys, diags, repeats=half)
+        log_prob_half = batched_log_prob_fn(kernel, t, ys, diags, repeats=half, dtype=dtype)
 
         def lp_eval(thetas_gwd):  # (G, half, D) -> (G, half)
             return log_prob_half(thetas_gwd.reshape(G * half, nk)).reshape(G, half)
 
         k_init, k_run = jax.random.split(key)
-        std = jnp.abs(theta0) * percent
-        init = theta0 + std * jax.random.normal(k_init, (G, walkers, nk), dtype=theta0.dtype)
+        if dtype is not None:
+            theta0_ = theta0.astype(dtype)
+        else:
+            theta0_ = theta0
+        std = jnp.abs(theta0_) * percent
+        init = theta0_ + std * jax.random.normal(k_init, (G, walkers, nk), dtype=theta0_.dtype)
         # clip into bounds (the reference resamples/clamps; a clip to the
         # 5%-inset bound has the same effect for chain initialization)
         span_lo = jnp.where(jnp.isfinite(lo), lo + 0.05 * jnp.abs(lo), -jnp.inf)
         span_hi = jnp.where(jnp.isfinite(hi), hi - 0.05 * jnp.abs(hi), jnp.inf)
-        init = jnp.clip(init, span_lo, span_hi)
+        init = jnp.clip(init, span_lo.astype(init.dtype), span_hi.astype(init.dtype))
 
         def half_update(key, active, passive, logp_active):
             # active/passive: (G, half, D); logp_active: (G, half)
@@ -163,6 +167,7 @@ def fit_lightcurves_batch(
     percent: float = 0.1,
     chunk: int = 512,
     use_mesh: bool = True,
+    dtype=None,
 ):
     """Max log-likelihood of ``kernel`` fit to each of B lightcurves
     sharing ``times``: short ensemble MCMC per lightcurve, batched.
@@ -175,7 +180,7 @@ def fit_lightcurves_batch(
     B = ys.shape[0]
     theta0 = jnp.asarray(theta0, dtype=jnp.float64)
 
-    runner = _make_batched_max_loglike(kernel, times, n_steps, walkers)
+    runner = _make_batched_max_loglike(kernel, times, n_steps, walkers, dtype=dtype)
 
     mesh = None
     n_dev = len(jax.devices())
@@ -191,8 +196,9 @@ def fit_lightcurves_batch(
             # pad to a multiple of the device count, shard the batch axis
             rem = (-nb) % n_dev
             if rem:
-                yb = np.concatenate([yb, yb[:rem]])
-                db = np.concatenate([db, db[:rem]])
+                pad_idx = np.arange(rem) % nb  # cyclic pad (rem may exceed nb)
+                yb = np.concatenate([yb, yb[pad_idx]])
+                db = np.concatenate([db, db[pad_idx]])
             yb = shard_batch(jnp.asarray(yb), mesh)
             db = shard_batch(jnp.asarray(db), mesh)
         key, sub = jax.random.split(key)
@@ -214,6 +220,7 @@ def protassov_lrt(
     observed_walkers: int = 32,
     sim_max_steps: int = 500,
     sim_walkers: int = 16,
+    sim_dtype="float32",
     chunk: int = 512,
     seed: int = 0,
     fit_observed: bool = True,
@@ -251,14 +258,19 @@ def protassov_lrt(
     key, k_null, k_alt = jax.random.split(key, 3)
     theta0_null = null_model.max_parameters[: null_kernel.ndim]
     theta0_alt = alt_model.max_parameters[: alt_kernel.ndim]
+    import jax.numpy as _jnp
+
+    sim_dtype = None if sim_dtype is None else _jnp.dtype(sim_dtype)
     null_lls, _ = fit_lightcurves_batch(
         k_null, null_kernel, lightcurve.times, sim_rates, sim_dy, theta0_null,
-        walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk,
+        walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
     )
     alt_lls, _ = fit_lightcurves_batch(
         k_alt, alt_kernel, lightcurve.times, sim_rates, sim_dy, theta0_alt,
-        walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk,
+        walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
     )
+    null_lls = null_lls.astype(np.float64)
+    alt_lls = alt_lls.astype(np.float64)
 
     # 4. T distribution and p-value (reference nb: percentileofscore)
     t_dist = -2.0 * (null_lls - alt_lls)
