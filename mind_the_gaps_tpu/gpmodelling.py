@@ -32,7 +32,11 @@ from mind_the_gaps_tpu.models.mean_models import (
     LinearModel,
     MeanModel,
 )
-from mind_the_gaps_tpu.sampler import integrated_autocorr_time, sample_ensemble
+from mind_the_gaps_tpu.sampler import sample_ensemble
+from mind_the_gaps_tpu.sampler.autocorr import (
+    integrated_autocorr_time,
+    integrated_autocorr_time_np,
+)
 from mind_the_gaps_tpu.solver import log_likelihood as solver_log_likelihood
 from mind_the_gaps_tpu.solver import predict as solver_predict
 
@@ -363,7 +367,7 @@ class GPModelling:
                 print(f"step {iteration}/{max_steps} (accept {float(acc):.2f})", flush=True)
 
             full_chain = np.concatenate(chains)
-            tau = np.asarray(integrated_autocorr_time(jnp.asarray(full_chain)))
+            tau = integrated_autocorr_time_np(full_chain)
             self._autocorr.append(np.mean(tau))
 
             if (

@@ -1,0 +1,219 @@
+"""Pallas TPU kernel for the batched celerite log-likelihood.
+
+The XLA while-loop version (solver/batched.py) reaches a few percent of
+VPU peak: every scan step re-synchronizes with HBM for its carry state.
+This kernel keeps the whole recursion state — S (R x R x 128),
+W/f (R x 128), D/z and the Kahan accumulators — resident per 128-lane
+batch tile for the entire time loop, streaming only the (N,) time/data
+series from VMEM.
+
+Same math as solver/batched.py (local-phase rotation form, Kahan
+accumulation); shared y/diag across the batch (the observed-data MCMC
+case).  Batch must be a multiple of 128 (pad at the caller).
+
+Kernel structure:
+- grid = (B // 128,): one program per batch tile,
+- coefficients arrive pre-transposed as (J, B) and are block-sliced to
+  (J, 128) per program,
+- the time series (dt, y, diag) are (N, 1) VMEM residents indexed by the
+  fori_loop counter,
+- carries live as loop values (vector registers / VMEM at the compiler's
+  discretion) — no HBM roundtrip per step.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_log_likelihood"]
+
+_TILE = 128
+
+
+def _make_kernel(Jr: int, Jc: int, N: int, dtype):
+    R = Jr + 2 * Jc
+
+    def kernel(dt_ref, y_ref, diag_ref, ar_ref, cr_ref, ac_ref, bc_ref, cc_ref, dc_ref, mean_ref, out_ref):
+        arT = ar_ref[:, :] if Jr else None  # (Jr, TILE)
+        crT = cr_ref[:, :] if Jr else None
+        acT = ac_ref[:, :] if Jc else None
+        bcT = bc_ref[:, :] if Jc else None
+        ccT = cc_ref[:, :] if Jc else None
+        dcT = dc_ref[:, :] if Jc else None
+        mean = mean_ref[0, :]  # (TILE,)
+
+        k0 = jnp.zeros((_TILE,), dtype=dtype)
+        if Jr:
+            k0 = k0 + jnp.sum(arT, axis=0)
+        if Jc:
+            k0 = k0 + jnp.sum(acT, axis=0)
+
+        # constant generator rows u, v: (R, TILE)
+        rows_u, rows_v = [], []
+        if Jr:
+            rows_u.append(arT)
+            rows_v.append(jnp.ones_like(arT))
+        if Jc:
+            z2 = jnp.zeros_like(acT)
+            o2 = jnp.ones_like(acT)
+            rows_u.append(
+                jnp.concatenate([acT[:, None, :], bcT[:, None, :]], 1).reshape(2 * Jc, _TILE)
+            )
+            rows_v.append(
+                jnp.concatenate([o2[:, None, :], z2[:, None, :]], 1).reshape(2 * Jc, _TILE)
+            )
+        u = jnp.concatenate(rows_u, 0) if len(rows_u) > 1 else rows_u[0]
+        v = jnp.concatenate(rows_v, 0) if len(rows_v) > 1 else rows_v[0]
+
+        def apply_P(x, er, ecc, ecs):
+            """P @ x columns for x (R, ..., TILE) flattened on mid axes."""
+            outs = []
+            if Jr:
+                outs.append(er * x[:Jr])
+            if Jc:
+                xc = x[Jr:].reshape(Jc, 2, *x.shape[1:])
+                x1, x2 = xc[:, 0], xc[:, 1]
+                y1 = ecc * x1 - ecs * x2
+                y2 = ecs * x1 + ecc * x2
+                outs.append(
+                    jnp.concatenate([y1[:, None], y2[:, None]], 1).reshape(2 * Jc, *x.shape[1:])
+                )
+            return jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
+
+        # step 0
+        r0 = y_ref[0, 0] - mean
+        A0 = diag_ref[0, 0] + k0
+        D0 = A0
+        W0 = v / D0
+        z0 = r0
+        S0 = jnp.zeros((R, R, _TILE), dtype=dtype)
+        f0 = jnp.zeros((R, _TILE), dtype=dtype)
+        zero = jnp.zeros((_TILE,), dtype=dtype)
+
+        def body(n, carry):
+            S, D_prev, W_prev, f_prev, z_prev, logdet, lc_, quad, qc_, ok = carry
+            dt_n = dt_ref[n, 0]
+            y_n = y_ref[n, 0]
+            d_n = diag_ref[n, 0]
+            er = jnp.exp(-crT * dt_n) if Jr else None
+            if Jc:
+                ecd = jnp.exp(-ccT * dt_n)
+                arg = dcT * dt_n
+                ecc = ecd * jnp.cos(arg)
+                ecs = ecd * jnp.sin(arg)
+            else:
+                ecc = ecs = None
+            rn = y_n - mean
+            An = d_n + k0
+
+            S = S + D_prev * W_prev[:, None, :] * W_prev[None, :, :]
+            # P S P^T: rows then columns (transpose trick)
+            er_w = None if er is None else er[:, None, :]
+            ecc_w = None if ecc is None else ecc[:, None, :]
+            ecs_w = None if ecs is None else ecs[:, None, :]
+            S = apply_P(S, er_w, ecc_w, ecs_w)
+            S = jnp.swapaxes(apply_P(jnp.swapaxes(S, 0, 1), er_w, ecc_w, ecs_w), 0, 1)
+
+            Su = jnp.sum(S * u[None, :, :], axis=1)  # (R, TILE)
+            D = An - jnp.sum(u * Su, axis=0)
+            W = (v - Su) / D
+            f = apply_P(f_prev + W_prev * z_prev, er, ecc, ecs)
+            z = rn - jnp.sum(u * f, axis=0)
+
+            # Kahan accumulation
+            x1 = jnp.log(jnp.abs(D)) - lc_
+            t1 = logdet + x1
+            lc_ = (t1 - logdet) - x1
+            logdet = t1
+            x2 = z * z / D - qc_
+            t2 = quad + x2
+            qc_ = (t2 - quad) - x2
+            quad = t2
+            ok = ok & (D > 0.0)
+            return (S, D, W, f, z, logdet, lc_, quad, qc_, ok)
+
+        init = (S0, D0, W0, f0, z0, jnp.log(jnp.abs(D0)), zero, z0 * z0 / D0, zero, D0 > 0.0)
+        S, D, W, f, z, logdet, _, quad, _, ok = jax.lax.fori_loop(1, N, body, init)
+
+        ll = -0.5 * (quad + logdet + N * math.log(2.0 * math.pi))
+        out_ref[0, :] = jnp.where(ok, ll, -jnp.inf)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False):
+    """Batched log N(y | mean, K(theta_b)) via the Pallas kernel.
+
+    coeffs: Coefficients with leading batch dim B (B % 128 == 0); y/diag
+    shared (N,); mean optional (B,).  float32 recommended on TPU.
+    """
+    ar, cr, ac, bc, cc, dc = coeffs
+    B = ar.shape[0]
+    if B % _TILE:
+        raise ValueError(f"batch must be a multiple of {_TILE}")
+    dtype = ar.dtype
+    Jr, Jc = ar.shape[1], ac.shape[1]
+
+    t64 = jnp.asarray(t)
+    N = t64.shape[0]
+    dt = jnp.diff(t64, prepend=t64[:1]).astype(dtype).reshape(N, 1)
+    y2 = jnp.asarray(y, dtype=dtype).reshape(N, 1)
+    d2 = jnp.asarray(diag, dtype=dtype).reshape(N, 1)
+    if mean is None:
+        mean = jnp.zeros((B,), dtype=dtype)
+    mean2 = jnp.asarray(mean, dtype=dtype).reshape(1, B)
+
+    def bspec_coeff(j):
+        # (J, B) -> per-program (J, TILE) block
+        return pl.BlockSpec((max(j, 1), _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def bspec_series():
+        return pl.BlockSpec((N, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel(Jr, Jc, N, dtype)
+    grid = (B // _TILE,)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), dtype),
+        grid=grid,
+        in_specs=[
+            bspec_series(),  # dt
+            bspec_series(),  # y
+            bspec_series(),  # diag
+            bspec_coeff(Jr),  # ar
+            bspec_coeff(Jr),  # cr
+            bspec_coeff(Jc),  # ac
+            bspec_coeff(Jc),  # bc
+            bspec_coeff(Jc),  # cc
+            bspec_coeff(Jc),  # dc
+            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),  # mean
+        ],
+        out_specs=pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        dt,
+        y2,
+        d2,
+        _pad_j(ar.T, Jr, B, dtype),
+        _pad_j(cr.T, Jr, B, dtype),
+        _pad_j(ac.T, Jc, B, dtype),
+        _pad_j(bc.T, Jc, B, dtype),
+        _pad_j(cc.T, Jc, B, dtype),
+        _pad_j(dc.T, Jc, B, dtype),
+        mean2,
+    )
+    return out[0]
+
+
+def _pad_j(x, j, b, dtype):
+    """Ensure a (J, B) array exists even when J == 0 (1-row dummy)."""
+    if j == 0:
+        return jnp.zeros((1, b), dtype=dtype)
+    return x

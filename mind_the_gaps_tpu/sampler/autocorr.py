@@ -12,7 +12,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["integrated_autocorr_time", "autocorr_function"]
+__all__ = ["integrated_autocorr_time", "integrated_autocorr_time_np", "autocorr_function"]
 
 
 def _next_pow_two(n: int) -> int:
@@ -35,6 +35,33 @@ def autocorr_function(x):
     acf = jnp.fft.ifft(f * jnp.conj(f))[:n].real
     acf = acf.astype(x.dtype)
     return acf / acf[0]
+
+
+def integrated_autocorr_time_np(chain, c: float = 5.0):
+    """Host (numpy) version of integrated_autocorr_time.
+
+    The convergence loop calls this every ``convergence_steps`` on a
+    chain whose length keeps growing — on device that would recompile
+    for every new length, and the arrays are tiny anyway.
+    """
+    import numpy as np
+
+    chain = np.asarray(chain)
+    n, w, d = chain.shape
+    m = 2 * _next_pow_two(n)
+    x = chain - chain.mean(axis=0, keepdims=True)
+    f = np.fft.fft(x, n=m, axis=0)
+    acf = np.fft.ifft(f * np.conj(f), axis=0)[:n].real
+    acf = acf / acf[:1]
+    rho = acf.mean(axis=1)  # (n, d)
+    taus = 2.0 * np.cumsum(rho, axis=0) - 1.0
+    out = np.empty(d)
+    ms = np.arange(n)
+    for j in range(d):
+        crossed = ms >= c * taus[:, j]
+        window = int(np.argmax(crossed)) if crossed.any() else n - 1
+        out[j] = taus[window, j]
+    return out
 
 
 @partial(jax.jit, static_argnames=("c",))
