@@ -1,24 +1,19 @@
 """Pallas TPU kernel for the batched celerite log-likelihood.
 
 The XLA while-loop version (solver/batched.py) reaches a few percent of
-VPU peak: every scan step re-synchronizes with HBM for its carry state.
-This kernel keeps the whole recursion state — S (R x R x 128),
-W/f (R x 128), D/z and the Kahan accumulators — resident per 128-lane
-batch tile for the entire time loop, streaming only the (N,) time/data
-series from VMEM.
+VPU peak: every scan step re-synchronizes its carry state through the
+loop machinery.  This kernel keeps the whole recursion state — S
+(flattened R^2 x 128), W/f (R x 128), D/z and the Kahan accumulators —
+resident in VMEM scratch per 128-lane batch tile for the entire time
+loop, streaming only the (N,) time/data series.
 
 Same math as solver/batched.py (local-phase rotation form, Kahan
 accumulation); shared y/diag across the batch (the observed-data MCMC
 case).  Batch must be a multiple of 128 (pad at the caller).
 
-Kernel structure:
-- grid = (B // 128,): one program per batch tile,
-- coefficients arrive pre-transposed as (J, B) and are block-sliced to
-  (J, 128) per program,
-- the time series (dt, y, diag) are (N, 1) VMEM residents indexed by the
-  fori_loop counter,
-- carries live as loop values (vector registers / VMEM at the compiler's
-  discretion) — no HBM roundtrip per step.
+Mosaic notes: loop state is held in VMEM scratch refs (not fori_loop
+carries — 3-D/bool carried values fail to legalize); all in-body values
+are 2-D (sublanes x lanes) except transient reshapes.
 """
 from __future__ import annotations
 
@@ -38,14 +33,20 @@ _TILE = 128
 def _make_kernel(Jr: int, Jc: int, N: int, dtype):
     R = Jr + 2 * Jc
 
-    def kernel(dt_ref, y_ref, diag_ref, ar_ref, cr_ref, ac_ref, bc_ref, cc_ref, dc_ref, mean_ref, out_ref):
-        arT = ar_ref[:, :] if Jr else None  # (Jr, TILE)
+    def kernel(
+        dt_ref, y_ref, diag_ref,
+        ar_ref, cr_ref, ac_ref, bc_ref, cc_ref, dc_ref, mean_ref,
+        out_ref,
+        S_scr, W_scr, f_scr, misc_scr,
+    ):
+        # misc_scr rows: 0=D, 1=z, 2=logdet, 3=logdet_c, 4=quad, 5=quad_c, 6=ok(1/0)
+        arT = ar_ref[:, :] if Jr else None
         crT = cr_ref[:, :] if Jr else None
         acT = ac_ref[:, :] if Jc else None
         bcT = bc_ref[:, :] if Jc else None
         ccT = cc_ref[:, :] if Jc else None
         dcT = dc_ref[:, :] if Jc else None
-        mean = mean_ref[0, :]  # (TILE,)
+        mean = mean_ref[0, :]
 
         k0 = jnp.zeros((_TILE,), dtype=dtype)
         if Jr:
@@ -53,7 +54,6 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
         if Jc:
             k0 = k0 + jnp.sum(acT, axis=0)
 
-        # constant generator rows u, v: (R, TILE)
         rows_u, rows_v = [], []
         if Jr:
             rows_u.append(arT)
@@ -61,17 +61,13 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
         if Jc:
             z2 = jnp.zeros_like(acT)
             o2 = jnp.ones_like(acT)
-            rows_u.append(
-                jnp.concatenate([acT[:, None, :], bcT[:, None, :]], 1).reshape(2 * Jc, _TILE)
-            )
-            rows_v.append(
-                jnp.concatenate([o2[:, None, :], z2[:, None, :]], 1).reshape(2 * Jc, _TILE)
-            )
+            rows_u.append(jnp.concatenate([acT[:, None, :], bcT[:, None, :]], 1).reshape(2 * Jc, _TILE))
+            rows_v.append(jnp.concatenate([o2[:, None, :], z2[:, None, :]], 1).reshape(2 * Jc, _TILE))
         u = jnp.concatenate(rows_u, 0) if len(rows_u) > 1 else rows_u[0]
         v = jnp.concatenate(rows_v, 0) if len(rows_v) > 1 else rows_v[0]
 
         def apply_P(x, er, ecc, ecs):
-            """P @ x columns for x (R, ..., TILE) flattened on mid axes."""
+            """P applied to the leading (R) axis of x (R, ..., TILE)."""
             outs = []
             if Jr:
                 outs.append(er * x[:Jr])
@@ -80,23 +76,24 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
                 x1, x2 = xc[:, 0], xc[:, 1]
                 y1 = ecc * x1 - ecs * x2
                 y2 = ecs * x1 + ecc * x2
-                outs.append(
-                    jnp.concatenate([y1[:, None], y2[:, None]], 1).reshape(2 * Jc, *x.shape[1:])
-                )
+                outs.append(jnp.concatenate([y1[:, None], y2[:, None]], 1).reshape(2 * Jc, *x.shape[1:]))
             return jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
 
-        # step 0
+        # ---- step 0: initialize scratch ------------------------------ #
         r0 = y_ref[0, 0] - mean
         A0 = diag_ref[0, 0] + k0
-        D0 = A0
-        W0 = v / D0
-        z0 = r0
-        S0 = jnp.zeros((R, R, _TILE), dtype=dtype)
-        f0 = jnp.zeros((R, _TILE), dtype=dtype)
-        zero = jnp.zeros((_TILE,), dtype=dtype)
+        S_scr[:, :] = jnp.zeros((R * R, _TILE), dtype=dtype)
+        W_scr[:, :] = v / A0
+        f_scr[:, :] = jnp.zeros((R, _TILE), dtype=dtype)
+        misc_scr[0, :] = A0
+        misc_scr[1, :] = r0
+        misc_scr[2, :] = jnp.log(jnp.abs(A0))
+        misc_scr[3, :] = jnp.zeros_like(A0)
+        misc_scr[4, :] = r0 * r0 / A0
+        misc_scr[5, :] = jnp.zeros_like(A0)
+        misc_scr[6, :] = jnp.where(A0 > 0.0, 1.0, 0.0).astype(dtype)
 
-        def body(n, carry):
-            S, D_prev, W_prev, f_prev, z_prev, logdet, lc_, quad, qc_, ok = carry
+        def body(n, _):
             dt_n = dt_ref[n, 0]
             y_n = y_ref[n, 0]
             d_n = diag_ref[n, 0]
@@ -111,37 +108,51 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
             rn = y_n - mean
             An = d_n + k0
 
+            S = S_scr[:, :].reshape(R, R, _TILE)
+            D_prev = misc_scr[0, :]
+            z_prev = misc_scr[1, :]
+            W_prev = W_scr[:, :]
+            f_prev = f_scr[:, :]
+
             S = S + D_prev * W_prev[:, None, :] * W_prev[None, :, :]
-            # P S P^T: rows then columns (transpose trick)
             er_w = None if er is None else er[:, None, :]
             ecc_w = None if ecc is None else ecc[:, None, :]
             ecs_w = None if ecs is None else ecs[:, None, :]
             S = apply_P(S, er_w, ecc_w, ecs_w)
             S = jnp.swapaxes(apply_P(jnp.swapaxes(S, 0, 1), er_w, ecc_w, ecs_w), 0, 1)
 
-            Su = jnp.sum(S * u[None, :, :], axis=1)  # (R, TILE)
+            Su = jnp.sum(S * u[None, :, :], axis=1)
             D = An - jnp.sum(u * Su, axis=0)
             W = (v - Su) / D
             f = apply_P(f_prev + W_prev * z_prev, er, ecc, ecs)
             z = rn - jnp.sum(u * f, axis=0)
 
             # Kahan accumulation
+            logdet, lc_ = misc_scr[2, :], misc_scr[3, :]
+            quad, qc_ = misc_scr[4, :], misc_scr[5, :]
             x1 = jnp.log(jnp.abs(D)) - lc_
             t1 = logdet + x1
             lc_ = (t1 - logdet) - x1
-            logdet = t1
             x2 = z * z / D - qc_
             t2 = quad + x2
             qc_ = (t2 - quad) - x2
-            quad = t2
-            ok = ok & (D > 0.0)
-            return (S, D, W, f, z, logdet, lc_, quad, qc_, ok)
 
-        init = (S0, D0, W0, f0, z0, jnp.log(jnp.abs(D0)), zero, z0 * z0 / D0, zero, D0 > 0.0)
-        S, D, W, f, z, logdet, _, quad, _, ok = jax.lax.fori_loop(1, N, body, init)
+            S_scr[:, :] = S.reshape(R * R, _TILE)
+            W_scr[:, :] = W
+            f_scr[:, :] = f
+            misc_scr[0, :] = D
+            misc_scr[1, :] = z
+            misc_scr[2, :] = t1
+            misc_scr[3, :] = lc_
+            misc_scr[4, :] = t2
+            misc_scr[5, :] = qc_
+            misc_scr[6, :] = misc_scr[6, :] * jnp.where(D > 0.0, 1.0, 0.0).astype(dtype)
+            return 0
 
-        ll = -0.5 * (quad + logdet + N * math.log(2.0 * math.pi))
-        out_ref[0, :] = jnp.where(ok, ll, -jnp.inf)
+        jax.lax.fori_loop(1, N, body, 0)
+
+        ll = -0.5 * (misc_scr[4, :] + misc_scr[2, :] + N * math.log(2.0 * math.pi))
+        out_ref[0, :] = jnp.where(misc_scr[6, :] > 0.5, ll, -jnp.inf)
 
     return kernel
 
@@ -159,6 +170,7 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
         raise ValueError(f"batch must be a multiple of {_TILE}")
     dtype = ar.dtype
     Jr, Jc = ar.shape[1], ac.shape[1]
+    R = Jr + 2 * Jc
 
     t64 = jnp.asarray(t)
     N = t64.shape[0]
@@ -170,7 +182,6 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
     mean2 = jnp.asarray(mean, dtype=dtype).reshape(1, B)
 
     def bspec_coeff(j):
-        # (J, B) -> per-program (J, TILE) block
         return pl.BlockSpec((max(j, 1), _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def bspec_series():
@@ -184,18 +195,24 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
         out_shape=jax.ShapeDtypeStruct((1, B), dtype),
         grid=grid,
         in_specs=[
-            bspec_series(),  # dt
-            bspec_series(),  # y
-            bspec_series(),  # diag
-            bspec_coeff(Jr),  # ar
-            bspec_coeff(Jr),  # cr
-            bspec_coeff(Jc),  # ac
-            bspec_coeff(Jc),  # bc
-            bspec_coeff(Jc),  # cc
-            bspec_coeff(Jc),  # dc
-            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),  # mean
+            bspec_series(),
+            bspec_series(),
+            bspec_series(),
+            bspec_coeff(Jr),
+            bspec_coeff(Jr),
+            bspec_coeff(Jc),
+            bspec_coeff(Jc),
+            bspec_coeff(Jc),
+            bspec_coeff(Jc),
+            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R * R, _TILE), dtype),
+            pltpu.VMEM((R, _TILE), dtype),
+            pltpu.VMEM((R, _TILE), dtype),
+            pltpu.VMEM((8, _TILE), dtype),
+        ],
         interpret=interpret,
     )(
         dt,
