@@ -147,9 +147,11 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
             misc_scr[4, :] = t2
             misc_scr[5, :] = qc_
             misc_scr[6, :] = misc_scr[6, :] * jnp.where(D > 0.0, 1.0, 0.0).astype(dtype)
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(1, N, body, 0)
+        # int32 everywhere: under jax x64 a Python-int carry/bound becomes
+        # i64, which Mosaic's vector layout inference rejects
+        jax.lax.fori_loop(jnp.int32(1), jnp.int32(N), body, jnp.int32(0))
 
         ll = -0.5 * (misc_scr[4, :] + misc_scr[2, :] + N * math.log(2.0 * math.pi))
         out_ref[0, :] = jnp.where(misc_scr[6, :] > 0.5, ll, -jnp.inf)
