@@ -91,7 +91,7 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
         misc_scr[3, :] = jnp.zeros_like(A0)
         misc_scr[4, :] = r0 * r0 / A0
         misc_scr[5, :] = jnp.zeros_like(A0)
-        misc_scr[6, :] = jnp.where(A0 > 0.0, 1.0, 0.0).astype(dtype)
+        misc_scr[6, :] = jnp.where(A0 > 0.0, jnp.ones_like(A0), jnp.zeros_like(A0))
 
         def body(n, _):
             dt_n = dt_ref[n, 0]
@@ -146,7 +146,7 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
             misc_scr[3, :] = lc_
             misc_scr[4, :] = t2
             misc_scr[5, :] = qc_
-            misc_scr[6, :] = misc_scr[6, :] * jnp.where(D > 0.0, 1.0, 0.0).astype(dtype)
+            misc_scr[6, :] = misc_scr[6, :] * jnp.where(D > 0.0, jnp.ones_like(D), jnp.zeros_like(D))
             return jnp.int32(0)
 
         # int32 everywhere: under jax x64 a Python-int carry/bound becomes

@@ -15,6 +15,7 @@ from mind_the_gaps_tpu.solver.semiseparable import (
     solve,
     predict_mean,
     predict,
+    inverse_diag,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "solve",
     "predict_mean",
     "predict",
+    "inverse_diag",
 ]

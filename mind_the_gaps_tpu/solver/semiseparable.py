@@ -240,14 +240,48 @@ def predict_mean(coeffs, t, y, diag, jitter=0.0, mean=0.0):
     return jnp.asarray(y) - s * alpha
 
 
+def inverse_diag(m: CeleriteMatrices, D, W):
+    """diag(K^{-1}) in O(N R^2) via a backward selected-inverse scan.
+
+    With L = I + strict-lower semiseparable (generators U, W, diagonal
+    decay P), the columns of L^{-1} follow the linear recursion
+    f_{k+1} = M_{k+1} f_k with M_k = P_k (I - w_{k-1} u_{k-1}^T), so
+
+      diag(K^{-1})_n = 1/D_n + (P_{n+1} w_n)^T H_{n+1} (P_{n+1} w_n),
+      H_k = u_k u_k^T / D_k + M_{k+1}^T H_{k+1} M_{k+1}
+
+    accumulated by one backward scan (the semiseparable analogue of the
+    Takahashi selected-inverse equations).
+    """
+    U, V, P, A = m
+    R = U.shape[1]
+    N = U.shape[0]
+
+    lam_last = jnp.outer(U[-1], U[-1]) / D[-1]
+
+    def bwd(H, inp):
+        # step for n (from N-2 down to 0): carry H = H_{n+1}
+        Un, Wn, Pn1, Dn = inp
+        HP = (Pn1[:, None] * Pn1[None, :]) * H  # P_{n+1}^T H P_{n+1} (P diagonal)
+        g = Wn @ HP @ Wn  # w_n^T HP w_n
+        IW = jnp.eye(R, dtype=U.dtype) - jnp.outer(Un, Wn)  # (I - u w^T)^T = I - w u^T transposed below
+        # H_n = Lambda_n + (I - u_n w_n^T) HP (I - w_n u_n^T)
+        Hn = jnp.outer(Un, Un) / Dn + IW @ HP @ IW.T
+        return Hn, g
+
+    inputs = (U[:-1][::-1], W[:-1][::-1], P[1:][::-1], D[:-1][::-1])
+    _, gs = jax.lax.scan(bwd, lam_last, inputs)
+    g = jnp.concatenate([gs[::-1], jnp.zeros((1,), dtype=U.dtype)])
+    return 1.0 / D + g
+
+
 def predict(coeffs, t, y, diag, mean=0.0):
-    """Predictive mean and variance at the training points.
+    """Predictive mean and variance at the training points, all O(N R^2).
 
     var_n = s_n - s_n^2 (K^{-1})_{nn}  with s_n the per-point noise
-    variance (diag argument).  diag(K^{-1}) is currently computed by
-    dense Cholesky — acceptable for the diagnostic use in
-    standarized_residuals (reference gpmodelling.py:353-370); an
-    O(N R^2) selected-inverse recursion is the planned upgrade.
+    variance (diag argument) — the identity behind celerite's
+    predict(return_var=True) at the training points (used by the
+    reference's standarized_residuals, gpmodelling.py:353-370).
     """
     m = build_matrices(coeffs, t, diag)
     D, W, _ = factor(m)
@@ -255,20 +289,6 @@ def predict(coeffs, t, y, diag, mean=0.0):
     alpha = solve(m, D, W, r)
     s = jnp.asarray(diag)
     mu = jnp.asarray(y) - s * alpha
-
-    # dense diag(K^{-1})
-    tau = jnp.abs(jnp.asarray(t)[:, None] - jnp.asarray(t)[None, :])
-    ar, cr, ac, bc, cc, dc = coeffs
-    K = jnp.zeros_like(tau)
-    if ar.shape[0]:
-        K = K + jnp.sum(ar * jnp.exp(-cr * tau[..., None]), axis=-1)
-    if ac.shape[0]:
-        K = K + jnp.sum(
-            jnp.exp(-cc * tau[..., None])
-            * (ac * jnp.cos(dc * tau[..., None]) + bc * jnp.sin(dc * tau[..., None])),
-            axis=-1,
-        )
-    K = K + jnp.diag(s)  # kernel diag already equals k(0); add noise variance
-    Kinv_diag = jnp.diagonal(jnp.linalg.inv(K))
+    Kinv_diag = inverse_diag(m, D, W)
     var = s - s**2 * Kinv_diag
     return mu, var
