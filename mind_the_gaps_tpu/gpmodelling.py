@@ -384,6 +384,10 @@ class GPModelling:
         sampler = ChainResult(np.concatenate(chains), np.concatenate(lps))
         self._tau = tau
         mean_tau = np.mean(tau)
+        if not np.isfinite(mean_tau):
+            warnings.warn("Autocorrelation time is not finite (stuck chains?); using conservative burn-in")
+            mean_tau = sampler.iteration / 10.0
+            self._tau = np.where(np.isfinite(tau), tau, sampler.iteration)
 
         if not self.converged:
             warnings.warn(f"The chains did not converge after {sampler.iteration} iterations!")

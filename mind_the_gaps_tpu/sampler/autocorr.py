@@ -52,7 +52,14 @@ def integrated_autocorr_time_np(chain, c: float = 5.0):
     x = chain - chain.mean(axis=0, keepdims=True)
     f = np.fft.fft(x, n=m, axis=0)
     acf = np.fft.ifft(f * np.conj(f), axis=0)[:n].real
-    acf = acf / acf[:1]
+    # constant (stuck) walkers have acf[0] == 0; treat them as maximally
+    # correlated (acf = 1 at all lags -> huge tau, blocks convergence)
+    # instead of propagating NaN into the convergence logic
+    norm = acf[:1].copy()
+    dead = ~(norm > 0)  # (1, w, d)
+    norm[dead] = 1.0
+    acf = acf / norm
+    acf = np.where(np.broadcast_to(dead, acf.shape), 1.0, acf)
     rho = acf.mean(axis=1)  # (n, d)
     taus = 2.0 * np.cumsum(rho, axis=0) - 1.0
     out = np.empty(d)
