@@ -192,7 +192,7 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
     kernel = _make_kernel(Jr, Jc, N, dtype)
     grid = (B // _TILE,)
 
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), dtype),
         grid=grid,
@@ -216,7 +216,9 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
             pltpu.VMEM((8, _TILE), dtype),
         ],
         interpret=interpret,
-    )(
+    )
+
+    args = (
         dt,
         y2,
         d2,
@@ -228,6 +230,15 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
         _pad_j(dc.T, Jc, B, dtype),
         mean2,
     )
+
+    # The package enables jax x64 globally, but Mosaic rejects the i64
+    # grid/index-map scalars that x64 tracing produces ("failed to
+    # legalize func.return").  The kernel math is dtype-explicit, so
+    # trace the pallas_call with x64 off.
+    from jax.experimental import enable_x64
+
+    with enable_x64(False):
+        out = call(*args)
     return out[0]
 
 

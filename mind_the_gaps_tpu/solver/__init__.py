@@ -7,6 +7,10 @@
   ``lax.scan`` — jit/vmap/grad-compatible, batched across TPU cores.
 """
 from mind_the_gaps_tpu.solver.dense import dense_log_likelihood, dense_covariance
+from mind_the_gaps_tpu.solver.kalman import (
+    kalman_log_likelihood,
+    parallel_kalman_log_likelihood,
+)
 from mind_the_gaps_tpu.solver.semiseparable import (
     CeleriteMatrices,
     build_matrices,
@@ -29,4 +33,6 @@ __all__ = [
     "predict_mean",
     "predict",
     "inverse_diag",
+    "kalman_log_likelihood",
+    "parallel_kalman_log_likelihood",
 ]
