@@ -78,9 +78,26 @@ def main():
         jax.random.key(1), (batch, len(theta0)), dtype=dtype
     )
 
+    from mind_the_gaps_tpu.ops import pallas_log_likelihood
+
     @jax.jit
-    def sweep(th):
+    def sweep_pallas(th):
+        return pallas_log_likelihood(jax.vmap(kernel.coefficients)(th), tt, yy, dd, tile=2048)
+
+    @jax.jit
+    def sweep_xla(th):
         return batched_log_likelihood(jax.vmap(kernel.coefficients)(th), tt, yy, dd, unroll=1)
+
+    # prefer the Pallas kernel; fall back to the XLA scan if Mosaic
+    # cannot compile on this backend
+    try:
+        out_p = sweep_pallas(thetas)
+        out_x = sweep_xla(thetas)
+        if float(jnp.max(jnp.abs(out_p - out_x))) > 0.5:
+            raise RuntimeError("pallas/xla mismatch")
+        sweep = sweep_pallas
+    except Exception:
+        sweep = sweep_xla
 
     sweep(thetas).block_until_ready()  # compile + warmup
 

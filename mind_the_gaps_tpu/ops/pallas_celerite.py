@@ -27,11 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pallas_log_likelihood"]
 
-_TILE = 128
+_TILE = 128  # minimum tile; the call uses a wider per-program tile
 
 
-def _make_kernel(Jr: int, Jc: int, N: int, dtype):
+def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int):
     R = Jr + 2 * Jc
+    _T = tile
 
     def kernel(
         dt_ref, y_ref, diag_ref,
@@ -48,7 +49,7 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
         dcT = dc_ref[:, :] if Jc else None
         mean = mean_ref[0, :]
 
-        k0 = jnp.zeros((_TILE,), dtype=dtype)
+        k0 = jnp.zeros((_T,), dtype=dtype)
         if Jr:
             k0 = k0 + jnp.sum(arT, axis=0)
         if Jc:
@@ -61,8 +62,8 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
         if Jc:
             z2 = jnp.zeros_like(acT)
             o2 = jnp.ones_like(acT)
-            rows_u.append(jnp.concatenate([acT[:, None, :], bcT[:, None, :]], 1).reshape(2 * Jc, _TILE))
-            rows_v.append(jnp.concatenate([o2[:, None, :], z2[:, None, :]], 1).reshape(2 * Jc, _TILE))
+            rows_u.append(jnp.concatenate([acT[:, None, :], bcT[:, None, :]], 1).reshape(2 * Jc, _T))
+            rows_v.append(jnp.concatenate([o2[:, None, :], z2[:, None, :]], 1).reshape(2 * Jc, _T))
         u = jnp.concatenate(rows_u, 0) if len(rows_u) > 1 else rows_u[0]
         v = jnp.concatenate(rows_v, 0) if len(rows_v) > 1 else rows_v[0]
 
@@ -82,9 +83,9 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
         # ---- step 0: initialize scratch ------------------------------ #
         r0 = y_ref[0, 0] - mean
         A0 = diag_ref[0, 0] + k0
-        S_scr[:, :] = jnp.zeros((R * R, _TILE), dtype=dtype)
+        S_scr[:, :] = jnp.zeros((R * R, _T), dtype=dtype)
         W_scr[:, :] = v / A0
-        f_scr[:, :] = jnp.zeros((R, _TILE), dtype=dtype)
+        f_scr[:, :] = jnp.zeros((R, _T), dtype=dtype)
         misc_scr[0, :] = A0
         misc_scr[1, :] = r0
         misc_scr[2, :] = jnp.log(jnp.abs(A0))
@@ -108,7 +109,7 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
             rn = y_n - mean
             An = d_n + k0
 
-            S = S_scr[:, :].reshape(R, R, _TILE)
+            S = S_scr[:, :].reshape(R, R, _T)
             D_prev = misc_scr[0, :]
             z_prev = misc_scr[1, :]
             W_prev = W_scr[:, :]
@@ -137,7 +138,7 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
             t2 = quad + x2
             qc_ = (t2 - quad) - x2
 
-            S_scr[:, :] = S.reshape(R * R, _TILE)
+            S_scr[:, :] = S.reshape(R * R, _T)
             W_scr[:, :] = W
             f_scr[:, :] = f
             misc_scr[0, :] = D
@@ -159,12 +160,14 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "tile"))
+def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False, tile: int = 2048):
     """Batched log N(y | mean, K(theta_b)) via the Pallas kernel.
 
     coeffs: Coefficients with leading batch dim B (B % 128 == 0); y/diag
     shared (N,); mean optional (B,).  float32 recommended on TPU.
+    ``tile``: lanes processed per grid program (wider tiles = more work
+    per VPU instruction; clamped to B).
     """
     ar, cr, ac, bc, cc, dc = coeffs
     B = ar.shape[0]
@@ -173,6 +176,11 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
     dtype = ar.dtype
     Jr, Jc = ar.shape[1], ac.shape[1]
     R = Jr + 2 * Jc
+
+    tile = min(tile, B)
+    while B % tile:
+        tile //= 2
+    tile = max(tile, _TILE)
 
     t64 = jnp.asarray(t)
     N = t64.shape[0]
@@ -184,13 +192,13 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
     mean2 = jnp.asarray(mean, dtype=dtype).reshape(1, B)
 
     def bspec_coeff(j):
-        return pl.BlockSpec((max(j, 1), _TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((max(j, 1), tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def bspec_series():
         return pl.BlockSpec((N, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(Jr, Jc, N, dtype)
-    grid = (B // _TILE,)
+    kernel = _make_kernel(Jr, Jc, N, dtype, tile)
+    grid = (B // tile,)
 
     call = pl.pallas_call(
         kernel,
@@ -206,14 +214,14 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
             bspec_coeff(Jc),
             bspec_coeff(Jc),
             bspec_coeff(Jc),
-            pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R * R, _TILE), dtype),
-            pltpu.VMEM((R, _TILE), dtype),
-            pltpu.VMEM((R, _TILE), dtype),
-            pltpu.VMEM((8, _TILE), dtype),
+            pltpu.VMEM((R * R, tile), dtype),
+            pltpu.VMEM((R, tile), dtype),
+            pltpu.VMEM((R, tile), dtype),
+            pltpu.VMEM((8, tile), dtype),
         ],
         interpret=interpret,
     )
@@ -235,9 +243,13 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
     # grid/index-map scalars that x64 tracing produces ("failed to
     # legalize func.return").  The kernel math is dtype-explicit, so
     # trace the pallas_call with x64 off.
-    from jax.experimental import enable_x64
-
-    with enable_x64(False):
+    if dtype == jnp.float32:
+        # trace with x64 off so grid/index-map scalars stay i32
+        # (an f64 kernel cannot trace under x64-off: its zeros/consts
+        # would silently downcast — that path is CPU/interpret-only)
+        with jax.enable_x64(False):
+            out = call(*args)
+    else:
         out = call(*args)
     return out[0]
 
