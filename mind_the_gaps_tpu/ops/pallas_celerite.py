@@ -30,16 +30,28 @@ __all__ = ["pallas_log_likelihood"]
 _TILE = 128  # minimum tile; the call uses a wider per-program tile
 
 
-def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int):
+def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int, grouped: bool = False):
     R = Jr + 2 * Jc
     _T = tile
 
     def kernel(
         dt_ref, y_ref, diag_ref,
-        ar_ref, cr_ref, ac_ref, bc_ref, cc_ref, dc_ref, mean_ref,
+        ar_ref, cr_ref, ac_ref, bc_ref, cc_ref, dc_ref, mean_ref, jit_ref, e_ref,
         out_ref,
         S_scr, W_scr, f_scr, misc_scr,
     ):
+        def expand_row(ref, n):
+            """Data row -> per-lane vector.  Grouped: (1, G_tile) row
+            expanded to (1, tile) lanes by a 0/1 selection matmul (MXU,
+            HIGHEST precision — jnp.repeat does not lower in Mosaic)."""
+            if not grouped:
+                return ref[n, 0]
+            row = ref[pl.ds(n, 1), :]  # (1, G_tile)
+            return jax.lax.dot_general(
+                row, e_ref[:, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )[0]
         # misc_scr rows: 0=D, 1=z, 2=logdet, 3=logdet_c, 4=quad, 5=quad_c, 6=ok(1/0)
         arT = ar_ref[:, :] if Jr else None
         crT = cr_ref[:, :] if Jr else None
@@ -49,7 +61,7 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int):
         dcT = dc_ref[:, :] if Jc else None
         mean = mean_ref[0, :]
 
-        k0 = jnp.zeros((_T,), dtype=dtype)
+        k0 = jit_ref[0, :]  # per-element extra diagonal (jitter)
         if Jr:
             k0 = k0 + jnp.sum(arT, axis=0)
         if Jc:
@@ -81,8 +93,8 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int):
             return jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
 
         # ---- step 0: initialize scratch ------------------------------ #
-        r0 = y_ref[0, 0] - mean
-        A0 = diag_ref[0, 0] + k0
+        r0 = expand_row(y_ref, 0) - mean
+        A0 = expand_row(diag_ref, 0) + k0
         S_scr[:, :] = jnp.zeros((R * R, _T), dtype=dtype)
         W_scr[:, :] = v / A0
         f_scr[:, :] = jnp.zeros((R, _T), dtype=dtype)
@@ -96,8 +108,8 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int):
 
         def body(n, _):
             dt_n = dt_ref[n, 0]
-            y_n = y_ref[n, 0]
-            d_n = diag_ref[n, 0]
+            y_n = expand_row(y_ref, n)
+            d_n = expand_row(diag_ref, n)
             er = jnp.exp(-crT * dt_n) if Jr else None
             if Jc:
                 ecd = jnp.exp(-ccT * dt_n)
@@ -160,14 +172,21 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile"))
-def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False, tile: int = 2048):
+@partial(jax.jit, static_argnames=("interpret", "tile", "repeats"))
+def pallas_log_likelihood(
+    coeffs, t, y, diag, mean=None, interpret: bool = False, tile: int = 2048,
+    repeats: int = 1, extra_diag=None,
+):
     """Batched log N(y | mean, K(theta_b)) via the Pallas kernel.
 
-    coeffs: Coefficients with leading batch dim B (B % 128 == 0); y/diag
-    shared (N,); mean optional (B,).  float32 recommended on TPU.
+    coeffs: Coefficients with leading batch dim B (B % 128 == 0).
+    y/diag: shared (N,) when repeats == 1, or per-group (G, N) with
+    B = G*repeats (element b uses group b // repeats — the bootstrap
+    layout; the per-lane expansion happens in-kernel on the MXU).
+    mean: optional per-element (B,).  extra_diag: optional per-element
+    (B,) additive diagonal (jitter).  float32 recommended on TPU.
     ``tile``: lanes processed per grid program (wider tiles = more work
-    per VPU instruction; clamped to B).
+    per VPU instruction; clamped to B; must be a multiple of repeats).
     """
     ar, cr, ac, bc, cc, dc = coeffs
     B = ar.shape[0]
@@ -176,28 +195,45 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
     dtype = ar.dtype
     Jr, Jc = ar.shape[1], ac.shape[1]
     R = Jr + 2 * Jc
+    grouped = repeats > 1
 
     tile = min(tile, B)
-    while B % tile:
+    while B % tile or (grouped and tile % repeats):
         tile //= 2
     tile = max(tile, _TILE)
+    if grouped and (tile % repeats or B % tile):
+        raise ValueError("could not find a tile size compatible with repeats")
+    g_tile = tile // repeats if grouped else 1
 
     t64 = jnp.asarray(t)
     N = t64.shape[0]
     dt = jnp.diff(t64, prepend=t64[:1]).astype(dtype).reshape(N, 1)
-    y2 = jnp.asarray(y, dtype=dtype).reshape(N, 1)
-    d2 = jnp.asarray(diag, dtype=dtype).reshape(N, 1)
+    if grouped:
+        y2 = jnp.asarray(y, dtype=dtype).T  # (N, G)
+        d2 = jnp.asarray(diag, dtype=dtype).T
+        # 0/1 expansion: lane g*repeats + w <- group g
+        eye = jnp.eye(g_tile, dtype=dtype)
+        E = jnp.repeat(eye, repeats, axis=1)  # (g_tile, tile)
+    else:
+        y2 = jnp.asarray(y, dtype=dtype).reshape(N, 1)
+        d2 = jnp.asarray(diag, dtype=dtype).reshape(N, 1)
+        E = jnp.zeros((1, 1), dtype=dtype)
     if mean is None:
         mean = jnp.zeros((B,), dtype=dtype)
     mean2 = jnp.asarray(mean, dtype=dtype).reshape(1, B)
+    if extra_diag is None:
+        extra_diag = jnp.zeros((B,), dtype=dtype)
+    jit2 = jnp.asarray(extra_diag, dtype=dtype).reshape(1, B)
 
     def bspec_coeff(j):
         return pl.BlockSpec((max(j, 1), tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def bspec_series():
+        if grouped:
+            return pl.BlockSpec((N, g_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
         return pl.BlockSpec((N, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(Jr, Jc, N, dtype, tile)
+    kernel = _make_kernel(Jr, Jc, N, dtype, tile, grouped=grouped)
     grid = (B // tile,)
 
     call = pl.pallas_call(
@@ -214,7 +250,9 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
             bspec_coeff(Jc),
             bspec_coeff(Jc),
             bspec_coeff(Jc),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),  # mean
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),  # jitter
+            pl.BlockSpec(E.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),  # expansion
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -237,6 +275,8 @@ def pallas_log_likelihood(coeffs, t, y, diag, mean=None, interpret: bool = False
         _pad_j(cc.T, Jc, B, dtype),
         _pad_j(dc.T, Jc, B, dtype),
         mean2,
+        jit2,
+        E,
     )
 
     # The package enables jax x64 globally, but Mosaic rejects the i64
