@@ -99,13 +99,24 @@ def main():
     except Exception:
         sweep = sweep_xla
 
-    sweep(thetas).block_until_ready()  # compile + warmup
+    float(jnp.sum(sweep(thetas)))  # compile + warmup + drain
 
-    reps = 3
+    # Measurement rules for this serving runtime: (a) identical input
+    # buffers get memoized — use a fresh input per repetition; (b)
+    # block_until_ready does not force remote execution — accumulate on
+    # device and fetch ONE scalar at the end.
+    reps = 4
+    inputs = [
+        jnp.asarray(theta0, dtype=dtype)
+        + 0.05 * jax.random.normal(jax.random.key(100 + r), (batch, len(theta0)), dtype=dtype)
+        for r in range(reps)
+    ]
+    _ = [float(x[0, 0]) for x in inputs]  # materialize inputs
     start = time.perf_counter()
-    for _ in range(reps):
-        out = sweep(thetas)
-    out.block_until_ready()
+    acc = 0.0
+    for th in inputs:
+        acc = acc + jnp.sum(sweep(th))
+    float(acc)  # single fetch forces all executions
     elapsed = time.perf_counter() - start
 
     evals_per_sec = batch * reps / elapsed
