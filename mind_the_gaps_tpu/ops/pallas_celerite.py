@@ -1,19 +1,33 @@
 """Pallas TPU kernel for the batched celerite log-likelihood.
 
-The XLA while-loop version (solver/batched.py) reaches a few percent of
-VPU peak: every scan step re-synchronizes its carry state through the
-loop machinery.  This kernel keeps the whole recursion state — S
-(flattened R^2 x 128), W/f (R x 128), D/z and the Kahan accumulators —
-resident in VMEM scratch per 128-lane batch tile for the entire time
-loop, streaming only the (N,) time/data series.
+The XLA while-loop version (solver/batched.py) loses most of the VPU to
+loop machinery: measured on a v5e chip at N=5k, B=16k (fetch-forced
+timing) the XLA scan does ~70k likelihood evals/s while this kernel does
+~440k (6x).  The whole recursion state — S (flattened R^2 x tile),
+W/f (R x tile), D/z and the Kahan accumulators — stays resident in VMEM
+scratch per batch tile across the entire time loop.
 
-Same math as solver/batched.py (local-phase rotation form, Kahan
-accumulation); shared y/diag across the batch (the observed-data MCMC
-case).  Batch must be a multiple of 128 (pad at the caller).
+Structure:
+- grid = (batch_tiles, time_blocks); the time axis is the *minor* grid
+  dimension, so consecutive time blocks of one batch tile run
+  back-to-back and the scratch state carries across them (TPU grid
+  iteration is sequential per core).  Time-blocking keeps the streamed
+  series blocks small enough for VMEM at any N.
+- data may be shared across the batch (y: (N,)) or per-group
+  (y: (G, N), B = G*repeats — the bootstrap layout); the per-lane
+  expansion of a group row happens in-kernel as a 0/1 selection matmul
+  at HIGHEST precision (jnp.repeat does not lower in Mosaic).
+- same math as solver/batched.py: local-phase rotation propagators and
+  Kahan-compensated accumulation.
 
-Mosaic notes: loop state is held in VMEM scratch refs (not fori_loop
-carries — 3-D/bool carried values fail to legalize); all in-body values
-are 2-D (sublanes x lanes) except transient reshapes.
+Mosaic constraints encoded here (discovered the hard way, see
+tests/test_pallas_kernel.py and the repo memory):
+- loop state in VMEM scratch refs, not fori_loop carries (3-D/bool
+  carries fail to legalize);
+- int32 loop bounds/carries, and pallas_call traced with x64 disabled
+  (global x64 makes grid scalars i64 -> 'func.return' legalization
+  failure); the f64 variant is CPU/interpret-only;
+- no `jnp.where(c, 1.0, 0.0)` (f64 vector under x64), no `rev`.
 """
 from __future__ import annotations
 
@@ -27,10 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pallas_log_likelihood"]
 
-_TILE = 128  # minimum tile; the call uses a wider per-program tile
+_LANES = 128
+_TIME_BLOCK = 256
 
 
-def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int, grouped: bool = False):
+def _make_kernel(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: int, grouped: bool, needs_mask: bool, g_tile: int):
     R = Jr + 2 * Jc
     _T = tile
 
@@ -38,21 +53,11 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int, grouped: bool = Fal
         dt_ref, y_ref, diag_ref,
         ar_ref, cr_ref, ac_ref, bc_ref, cc_ref, dc_ref, mean_ref, jit_ref, e_ref,
         out_ref,
-        S_scr, W_scr, f_scr, misc_scr,
+        S_scr, W_scr, f_scr, misc_scr, yx_scr, dx_scr,
     ):
-        def expand_row(ref, n):
-            """Data row -> per-lane vector.  Grouped: (1, G_tile) row
-            expanded to (1, tile) lanes by a 0/1 selection matmul (MXU,
-            HIGHEST precision — jnp.repeat does not lower in Mosaic)."""
-            if not grouped:
-                return ref[n, 0]
-            row = ref[pl.ds(n, 1), :]  # (1, G_tile)
-            return jax.lax.dot_general(
-                row, e_ref[:, :], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=dtype,
-            )[0]
         # misc_scr rows: 0=D, 1=z, 2=logdet, 3=logdet_c, 4=quad, 5=quad_c, 6=ok(1/0)
+        j = pl.program_id(1)  # time block
+
         arT = ar_ref[:, :] if Jr else None
         crT = cr_ref[:, :] if Jr else None
         acT = ac_ref[:, :] if Jc else None
@@ -60,6 +65,27 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int, grouped: bool = Fal
         ccT = cc_ref[:, :] if Jc else None
         dcT = dc_ref[:, :] if Jc else None
         mean = mean_ref[0, :]
+
+        # Per-block expansion of the data series into (tb, tile) scratch:
+        # rows then read as full vectors (dynamic scalar reads from the
+        # (tb, 1)-shaped series blocks are an order of magnitude slower).
+        # (tb, g_tile) -> (tb, tile) lanes in one MXU matmul per series;
+        # for shared data E is a row of ones (lane broadcast on the MXU —
+        # Mosaic's vector lane-broadcast from a 1-lane block is orders of
+        # magnitude slower)
+        def fill(dst, src):
+            dst[:, :] = jax.lax.dot_general(
+                src[:, :], e_ref[:, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )
+
+        fill(yx_scr, y_ref)
+        fill(dx_scr, diag_ref)
+
+        def expand_row(ref, n, which):
+            """Data row -> per-lane (tile,) vector."""
+            return (yx_scr if which == 0 else dx_scr)[n, :]
 
         k0 = jit_ref[0, :]  # per-element extra diagonal (jitter)
         if Jr:
@@ -80,7 +106,6 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int, grouped: bool = Fal
         v = jnp.concatenate(rows_v, 0) if len(rows_v) > 1 else rows_v[0]
 
         def apply_P(x, er, ecc, ecs):
-            """P applied to the leading (R) axis of x (R, ..., TILE)."""
             outs = []
             if Jr:
                 outs.append(er * x[:Jr])
@@ -92,24 +117,29 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int, grouped: bool = Fal
                 outs.append(jnp.concatenate([y1[:, None], y2[:, None]], 1).reshape(2 * Jc, *x.shape[1:]))
             return jnp.concatenate(outs, 0) if len(outs) > 1 else outs[0]
 
-        # ---- step 0: initialize scratch ------------------------------ #
-        r0 = expand_row(y_ref, 0) - mean
-        A0 = expand_row(diag_ref, 0) + k0
-        S_scr[:, :] = jnp.zeros((R * R, _T), dtype=dtype)
-        W_scr[:, :] = v / A0
-        f_scr[:, :] = jnp.zeros((R, _T), dtype=dtype)
-        misc_scr[0, :] = A0
-        misc_scr[1, :] = r0
-        misc_scr[2, :] = jnp.log(jnp.abs(A0))
-        misc_scr[3, :] = jnp.zeros_like(A0)
-        misc_scr[4, :] = r0 * r0 / A0
-        misc_scr[5, :] = jnp.zeros_like(A0)
-        misc_scr[6, :] = jnp.where(A0 > 0.0, jnp.ones_like(A0), jnp.zeros_like(A0))
+        # ---- time block 0: initialize scratch from the first sample --- #
+        @pl.when(j == 0)
+        def _init():
+            r0 = expand_row(y_ref, 0, 0) - mean
+            A0 = expand_row(diag_ref, 0, 1) + k0
+            S_scr[:, :] = jnp.zeros((R * R, _T), dtype=dtype)
+            W_scr[:, :] = v / A0
+            f_scr[:, :] = jnp.zeros((R, _T), dtype=dtype)
+            misc_scr[0, :] = A0
+            misc_scr[1, :] = r0
+            misc_scr[2, :] = jnp.log(jnp.abs(A0))
+            misc_scr[3, :] = jnp.zeros_like(A0)
+            misc_scr[4, :] = r0 * r0 / A0
+            misc_scr[5, :] = jnp.zeros_like(A0)
+            misc_scr[6, :] = jnp.where(A0 > 0.0, jnp.ones_like(A0), jnp.zeros_like(A0))
 
         def body(n, _):
+            # n is the row inside this time block; global index j*tb + n
+            valid = (j * tb + n) < N if needs_mask else True
+
             dt_n = dt_ref[n, 0]
-            y_n = expand_row(y_ref, n)
-            d_n = expand_row(diag_ref, n)
+            y_n = expand_row(y_ref, n, 0)
+            d_n = expand_row(diag_ref, n, 1)
             er = jnp.exp(-crT * dt_n) if Jr else None
             if Jc:
                 ecd = jnp.exp(-ccT * dt_n)
@@ -127,97 +157,146 @@ def _make_kernel(Jr: int, Jc: int, N: int, dtype, tile: int, grouped: bool = Fal
             W_prev = W_scr[:, :]
             f_prev = f_scr[:, :]
 
-            S = S + D_prev * W_prev[:, None, :] * W_prev[None, :, :]
+            S_new = S + D_prev * W_prev[:, None, :] * W_prev[None, :, :]
             er_w = None if er is None else er[:, None, :]
             ecc_w = None if ecc is None else ecc[:, None, :]
             ecs_w = None if ecs is None else ecs[:, None, :]
-            S = apply_P(S, er_w, ecc_w, ecs_w)
-            S = jnp.swapaxes(apply_P(jnp.swapaxes(S, 0, 1), er_w, ecc_w, ecs_w), 0, 1)
+            S_new = apply_P(S_new, er_w, ecc_w, ecs_w)
+            S_new = jnp.swapaxes(apply_P(jnp.swapaxes(S_new, 0, 1), er_w, ecc_w, ecs_w), 0, 1)
 
-            Su = jnp.sum(S * u[None, :, :], axis=1)
+            Su = jnp.sum(S_new * u[None, :, :], axis=1)
             D = An - jnp.sum(u * Su, axis=0)
             W = (v - Su) / D
             f = apply_P(f_prev + W_prev * z_prev, er, ecc, ecs)
             z = rn - jnp.sum(u * f, axis=0)
 
-            # Kahan accumulation
             logdet, lc_ = misc_scr[2, :], misc_scr[3, :]
             quad, qc_ = misc_scr[4, :], misc_scr[5, :]
             x1 = jnp.log(jnp.abs(D)) - lc_
             t1 = logdet + x1
-            lc_ = (t1 - logdet) - x1
+            lc_n = (t1 - logdet) - x1
             x2 = z * z / D - qc_
             t2 = quad + x2
-            qc_ = (t2 - quad) - x2
+            qc_n = (t2 - quad) - x2
 
-            S_scr[:, :] = S.reshape(R * R, _T)
-            W_scr[:, :] = W
-            f_scr[:, :] = f
-            misc_scr[0, :] = D
-            misc_scr[1, :] = z
-            misc_scr[2, :] = t1
-            misc_scr[3, :] = lc_
-            misc_scr[4, :] = t2
-            misc_scr[5, :] = qc_
-            misc_scr[6, :] = misc_scr[6, :] * jnp.where(D > 0.0, jnp.ones_like(D), jnp.zeros_like(D))
+            def _write():
+                S_scr[:, :] = S_new.reshape(R * R, _T)
+                W_scr[:, :] = W
+                f_scr[:, :] = f
+                misc_scr[0, :] = D
+                misc_scr[1, :] = z
+                misc_scr[2, :] = t1
+                misc_scr[3, :] = lc_n
+                misc_scr[4, :] = t2
+                misc_scr[5, :] = qc_n
+                misc_scr[6, :] = misc_scr[6, :] * jnp.where(D > 0.0, jnp.ones_like(D), jnp.zeros_like(D))
+
+            if needs_mask:
+                # padded rows (n_global >= N) are no-ops
+                pl.when(valid)(_write)
+            else:
+                _write()
+
             return jnp.int32(0)
 
-        # int32 everywhere: under jax x64 a Python-int carry/bound becomes
-        # i64, which Mosaic's vector layout inference rejects
-        jax.lax.fori_loop(jnp.int32(1), jnp.int32(N), body, jnp.int32(0))
+        start = jnp.where(j == jnp.int32(0), jnp.int32(1), jnp.int32(0))
+        jax.lax.fori_loop(start, jnp.int32(tb), body, jnp.int32(0))
 
+        # write the (running) result; the last time block's write wins
         ll = -0.5 * (misc_scr[4, :] + misc_scr[2, :] + N * math.log(2.0 * math.pi))
         out_ref[0, :] = jnp.where(misc_scr[6, :] > 0.5, ll, -jnp.inf)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile", "repeats"))
+@partial(jax.jit, static_argnames=("interpret", "tile", "repeats", "time_block"))
 def pallas_log_likelihood(
     coeffs, t, y, diag, mean=None, interpret: bool = False, tile: int = 2048,
-    repeats: int = 1, extra_diag=None,
+    repeats: int = 1, extra_diag=None, time_block: int = _TIME_BLOCK,
 ):
     """Batched log N(y | mean, K(theta_b)) via the Pallas kernel.
 
     coeffs: Coefficients with leading batch dim B (B % 128 == 0).
     y/diag: shared (N,) when repeats == 1, or per-group (G, N) with
-    B = G*repeats (element b uses group b // repeats — the bootstrap
-    layout; the per-lane expansion happens in-kernel on the MXU).
-    mean: optional per-element (B,).  extra_diag: optional per-element
-    (B,) additive diagonal (jitter).  float32 recommended on TPU.
-    ``tile``: lanes processed per grid program (wider tiles = more work
-    per VPU instruction; clamped to B; must be a multiple of repeats).
+    B = G*repeats (element b uses group b // repeats).
+    mean / extra_diag: optional per-element (B,) vectors.
+    float32 recommended on TPU (the f64 variant is CPU/interpret-only).
     """
     ar, cr, ac, bc, cc, dc = coeffs
     B = ar.shape[0]
-    if B % _TILE:
-        raise ValueError(f"batch must be a multiple of {_TILE}")
+    if B % _LANES:
+        raise ValueError(f"batch must be a multiple of {_LANES}")
     dtype = ar.dtype
     Jr, Jc = ar.shape[1], ac.shape[1]
     R = Jr + 2 * Jc
     grouped = repeats > 1
 
+    if not grouped:
+        # Route shared data through the grouped path: Mosaic vector ops
+        # on 1-lane-wide operands (broadcast or K=1 matmul from an (N,1)
+        # block) are pathologically slow, so replicate the series into
+        # >=128 identical group columns and use the same wide-layout
+        # expansion matmul as the bootstrap case.
+        repeats = max(tile // _LANES, 1)
+        while B % repeats:
+            repeats //= 2
+        if repeats > 1:
+            g = B // repeats
+            y = jnp.broadcast_to(jnp.asarray(y, dtype=dtype)[None, :], (g, jnp.asarray(y).shape[0]))
+            diag = jnp.broadcast_to(jnp.asarray(diag, dtype=dtype)[None, :], (g, jnp.asarray(diag).shape[0]))
+            grouped = True
+
+    G = jnp.asarray(y).shape[0] if grouped else 0
+
+    def _tile_ok(tl):
+        if B % tl:
+            return False
+        if not grouped:
+            return True
+        if tl % repeats:
+            return False
+        gt = tl // repeats
+        # Mosaic block constraint: trailing block dim divisible by 128
+        # or equal to the full array dimension
+        return gt % _LANES == 0 or gt == G
+
     tile = min(tile, B)
-    while B % tile or (grouped and tile % repeats):
+    while not _tile_ok(tile):
         tile //= 2
-    tile = max(tile, _TILE)
-    if grouped and (tile % repeats or B % tile):
-        raise ValueError("could not find a tile size compatible with repeats")
+        if tile < _LANES:
+            raise ValueError(
+                "no valid tile: need tile | B and, for grouped data, "
+                "repeats | tile with tile/repeats a multiple of 128 (or == G)"
+            )
     g_tile = tile // repeats if grouped else 1
 
     t64 = jnp.asarray(t)
     N = t64.shape[0]
-    dt = jnp.diff(t64, prepend=t64[:1]).astype(dtype).reshape(N, 1)
+    tb = min(time_block, N)
+    tb -= tb % 8 or 0
+    tb = max(tb, 8)
+    n_blocks = -(-N // tb)
+    n_pad = n_blocks * tb
+    needs_mask = n_pad != N
+
+    dt_full = jnp.diff(t64, prepend=t64[:1]).astype(dtype)
+    dt = jnp.zeros((n_pad,), dtype=dtype).at[:N].set(dt_full).reshape(n_pad, 1)
+
+    def pad_series(x, fill):
+        x = jnp.asarray(x, dtype=dtype)
+        if grouped:
+            xp = jnp.full((x.shape[0], n_pad), fill, dtype=dtype).at[:, :N].set(x)
+            return xp.T  # (n_pad, G)
+        xp = jnp.full((n_pad,), fill, dtype=dtype).at[:N].set(x)
+        return xp.reshape(n_pad, 1)
+
+    y2 = pad_series(y, 0.0)
+    d2 = pad_series(diag, 1.0)
     if grouped:
-        y2 = jnp.asarray(y, dtype=dtype).T  # (N, G)
-        d2 = jnp.asarray(diag, dtype=dtype).T
-        # 0/1 expansion: lane g*repeats + w <- group g
         eye = jnp.eye(g_tile, dtype=dtype)
         E = jnp.repeat(eye, repeats, axis=1)  # (g_tile, tile)
     else:
-        y2 = jnp.asarray(y, dtype=dtype).reshape(N, 1)
-        d2 = jnp.asarray(diag, dtype=dtype).reshape(N, 1)
-        E = jnp.zeros((1, 1), dtype=dtype)
+        E = jnp.ones((1, tile), dtype=dtype)  # lane broadcast
     if mean is None:
         mean = jnp.zeros((B,), dtype=dtype)
     mean2 = jnp.asarray(mean, dtype=dtype).reshape(1, B)
@@ -226,40 +305,40 @@ def pallas_log_likelihood(
     jit2 = jnp.asarray(extra_diag, dtype=dtype).reshape(1, B)
 
     def bspec_coeff(j):
-        return pl.BlockSpec((max(j, 1), tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((max(j, 1), tile), lambda i, jb: (0, i), memory_space=pltpu.VMEM)
 
-    def bspec_series():
-        if grouped:
-            return pl.BlockSpec((N, g_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-        return pl.BlockSpec((N, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    def bspec_series(width):
+        return pl.BlockSpec((tb, width), lambda i, jb: (jb, 0 if width == 1 else i), memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(Jr, Jc, N, dtype, tile, grouped=grouped)
-    grid = (B // tile,)
+    kernel = _make_kernel(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile)
+    grid = (B // tile, n_blocks)
 
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), dtype),
         grid=grid,
         in_specs=[
-            bspec_series(),
-            bspec_series(),
-            bspec_series(),
+            bspec_series(1),  # dt
+            bspec_series(g_tile if grouped else 1),  # y
+            bspec_series(g_tile if grouped else 1),  # diag
             bspec_coeff(Jr),
             bspec_coeff(Jr),
             bspec_coeff(Jc),
             bspec_coeff(Jc),
             bspec_coeff(Jc),
             bspec_coeff(Jc),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),  # mean
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),  # jitter
-            pl.BlockSpec(E.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),  # expansion
+            pl.BlockSpec((1, tile), lambda i, jb: (0, i), memory_space=pltpu.VMEM),  # mean
+            pl.BlockSpec((1, tile), lambda i, jb: (0, i), memory_space=pltpu.VMEM),  # jitter
+            pl.BlockSpec(E.shape, lambda i, jb: (0, 0), memory_space=pltpu.VMEM),  # expansion
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile), lambda i, jb: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((R * R, tile), dtype),
             pltpu.VMEM((R, tile), dtype),
             pltpu.VMEM((R, tile), dtype),
             pltpu.VMEM((8, tile), dtype),
+            pltpu.VMEM((tb, tile), dtype),  # expanded y
+            pltpu.VMEM((tb, tile), dtype),  # expanded diag
         ],
         interpret=interpret,
     )
@@ -279,14 +358,8 @@ def pallas_log_likelihood(
         E,
     )
 
-    # The package enables jax x64 globally, but Mosaic rejects the i64
-    # grid/index-map scalars that x64 tracing produces ("failed to
-    # legalize func.return").  The kernel math is dtype-explicit, so
-    # trace the pallas_call with x64 off.
+    # Mosaic rejects the i64 grid scalars that global-x64 tracing makes
     if dtype == jnp.float32:
-        # trace with x64 off so grid/index-map scalars stay i32
-        # (an f64 kernel cannot trace under x64-off: its zeros/consts
-        # would silently downcast — that path is CPU/interpret-only)
         with jax.enable_x64(False):
             out = call(*args)
     else:
