@@ -62,7 +62,7 @@ class LRTResult:
     sim_dy: np.ndarray = field(repr=False, default=None)
 
 
-def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0, dtype=None):
+def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0, dtype=None, backend: str = "xla"):
     """Build the jitted grouped-batch short-MCMC max-loglikelihood program
     for one kernel over fixed timestamps.
 
@@ -89,7 +89,26 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
     @jax.jit
     def batched(key, ys, diags, theta0, percent):
         G = ys.shape[0]
-        log_prob_half = batched_log_prob_fn(kernel, t, ys, diags, repeats=half, dtype=dtype)
+        if backend == "pallas":
+            from mind_the_gaps_tpu.ops import pallas_log_likelihood
+
+            ys_c = jnp.asarray(ys, dtype=dtype) if dtype is not None else jnp.asarray(ys)
+            diags_c = jnp.asarray(diags, dtype=dtype) if dtype is not None else jnp.asarray(diags)
+            data_means = jnp.mean(ys_c, axis=1)
+            mean_b = jnp.repeat(data_means, half)
+
+            def log_prob_half(thetas):  # (G*half, D) -> (G*half,)
+                if dtype is not None:
+                    thetas = thetas.astype(dtype)
+                coeffs = jax.vmap(kernel.coefficients)(thetas)
+                lp = jax.vmap(kernel.log_prior)(thetas)
+                jitter = jax.vmap(kernel.jitter)(thetas)
+                ll = pallas_log_likelihood(
+                    coeffs, t, ys_c, diags_c, mean=mean_b, repeats=half, extra_diag=jitter
+                )
+                return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+        else:
+            log_prob_half = batched_log_prob_fn(kernel, t, ys, diags, repeats=half, dtype=dtype)
 
         def lp_eval(thetas_gwd):  # (G, half, D) -> (G, half)
             return log_prob_half(thetas_gwd.reshape(G * half, nk)).reshape(G, half)
@@ -168,6 +187,7 @@ def fit_lightcurves_batch(
     chunk: int = 512,
     use_mesh: bool = True,
     dtype=None,
+    backend: str = "auto",
 ):
     """Max log-likelihood of ``kernel`` fit to each of B lightcurves
     sharing ``times``: short ensemble MCMC per lightcurve, batched.
@@ -180,7 +200,30 @@ def fit_lightcurves_batch(
     B = ys.shape[0]
     theta0 = jnp.asarray(theta0, dtype=jnp.float64)
 
-    runner = _make_batched_max_loglike(kernel, times, n_steps, walkers, dtype=dtype)
+    import math as _math
+
+    half = walkers // 2
+    use_pallas = False
+    if backend == "pallas":
+        use_pallas = True
+    elif backend == "auto":
+        # the Pallas kernel needs f32 and a TPU backend
+        use_pallas = (
+            dtype is not None
+            and jnp.dtype(dtype) == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
+    runner = _make_batched_max_loglike(
+        kernel, times, n_steps, walkers, dtype=dtype,
+        backend="pallas" if use_pallas else "xla",
+    )
+    runner_fallback = (
+        _make_batched_max_loglike(kernel, times, n_steps, walkers, dtype=dtype, backend="xla")
+        if use_pallas
+        else None
+    )
+    # the Pallas kernel needs (G*half) % 128 == 0: pad the group axis
+    g_align = 128 // _math.gcd(half, 128) if use_pallas else 1
 
     mesh = None
     n_dev = len(jax.devices())
@@ -192,17 +235,25 @@ def fit_lightcurves_batch(
         yb = ys[start : start + chunk]
         db = diags[start : start + chunk]
         nb = yb.shape[0]
+        align = g_align * (n_dev if mesh is not None else 1)
+        rem = (-nb) % align
+        if rem:
+            pad_idx = np.arange(rem) % nb  # cyclic pad (rem may exceed nb)
+            yb = np.concatenate([yb, yb[pad_idx]])
+            db = np.concatenate([db, db[pad_idx]])
         if mesh is not None:
-            # pad to a multiple of the device count, shard the batch axis
-            rem = (-nb) % n_dev
-            if rem:
-                pad_idx = np.arange(rem) % nb  # cyclic pad (rem may exceed nb)
-                yb = np.concatenate([yb, yb[pad_idx]])
-                db = np.concatenate([db, db[pad_idx]])
             yb = shard_batch(jnp.asarray(yb), mesh)
             db = shard_batch(jnp.asarray(db), mesh)
         key, sub = jax.random.split(key)
-        lls, xs = runner(sub, jnp.asarray(yb), jnp.asarray(db), theta0, percent)
+        try:
+            lls, xs = runner(sub, jnp.asarray(yb), jnp.asarray(db), theta0, percent)
+            lls.block_until_ready()
+        except Exception:
+            if runner_fallback is None:
+                raise
+            runner = runner_fallback  # Mosaic unavailable: drop to XLA
+            runner_fallback = None
+            lls, xs = runner(sub, jnp.asarray(yb), jnp.asarray(db), theta0, percent)
         best_lls.append(np.asarray(lls)[:nb])
         best_xs.append(np.asarray(xs)[:nb])
     return np.concatenate(best_lls), np.concatenate(best_xs)

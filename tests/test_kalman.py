@@ -1,6 +1,7 @@
 """Kalman (state-space) solvers must reproduce the celerite likelihood:
 sequential filter and the associative-scan parallel filter both match
 the semiseparable scan at f64 parity levels."""
+import zlib
 import numpy as np
 import pytest
 
@@ -42,7 +43,7 @@ KERNELS = [
 
 @pytest.mark.parametrize("name,kern", KERNELS, ids=[k for k, _ in KERNELS])
 def test_sequential_kalman_matches_celerite(name, kern):
-    t, y, diag = _problem(seed=abs(hash(name)) % 1000)
+    t, y, diag = _problem(seed=zlib.crc32(name.encode()) % 1000)
     co = kern.coefficients(jnp.asarray(kern.get_parameter_vector()))
     ll_ref = float(jax.jit(lambda: log_likelihood(co, t, y, diag))())
     ll_kal = float(jax.jit(lambda: kalman_log_likelihood(co, t, y, diag))())
@@ -51,7 +52,7 @@ def test_sequential_kalman_matches_celerite(name, kern):
 
 @pytest.mark.parametrize("name,kern", KERNELS, ids=[k for k, _ in KERNELS])
 def test_parallel_kalman_matches_celerite(name, kern):
-    t, y, diag = _problem(seed=abs(hash(name)) % 1000)
+    t, y, diag = _problem(seed=zlib.crc32(name.encode()) % 1000)
     co = kern.coefficients(jnp.asarray(kern.get_parameter_vector()))
     ll_ref = float(jax.jit(lambda: log_likelihood(co, t, y, diag))())
     ll_par = float(parallel_kalman_log_likelihood(co, t, y, diag))
