@@ -1,0 +1,113 @@
+"""Lightcurve loader tests over synthetic files (Simple CSV, Swift QDP,
+Fermi CSV) and the legacy readingutils parsers."""
+import numpy as np
+import pytest
+
+from mind_the_gaps_tpu import FermiLightcurve, GappyLightcurve, SimpleLightcurve, SwiftLightcurve
+from mind_the_gaps_tpu import readingutils
+
+
+def test_simple_lightcurve_seconds(tmp_path):
+    f = tmp_path / "lc.csv"
+    f.write_text(
+        "t\trate\terror\texposure\tbkg_rate\tbkg_rate_err\n"
+        + "\n".join(
+            f"{10.0*i:.1f}\t{1.0+0.1*i:.3f}\t0.05\t2.0\t0.01\t0.001" for i in range(20)
+        )
+    )
+    lc = SimpleLightcurve(str(f))
+    assert lc.n == 20
+    np.testing.assert_allclose(lc.times, 10.0 * np.arange(20))
+    np.testing.assert_allclose(lc.exposures, 2.0)
+    np.testing.assert_allclose(lc.bkg_rate, 0.01)
+
+
+def test_simple_lightcurve_days_converted(tmp_path):
+    f = tmp_path / "lc.csv"
+    f.write_text(
+        "mjd rate error\n" + "\n".join(f"{50000 + i} {1.0} {0.1}" for i in range(5))
+    )
+    with pytest.warns(UserWarning):
+        lc = SimpleLightcurve(str(f))
+    np.testing.assert_allclose(np.diff(lc.times), 86400.0)
+
+
+def test_roundtrip_to_csv(tmp_path):
+    rng = np.random.default_rng(0)
+    t = np.cumsum(rng.uniform(5, 10, 30))
+    lc = GappyLightcurve(t, rng.normal(5, 1, 30), np.full(30, 0.3), exposures=2.0)
+    out = tmp_path / "out.dat"
+    lc.to_csv(str(out))
+    t2, r2, e2, exp2, bkg2, bkgerr2 = readingutils.read_standard_lightcurve(str(out))
+    np.testing.assert_allclose(t2, lc.times, rtol=1e-7)
+    np.testing.assert_allclose(r2, lc.y, atol=1e-4)
+    np.testing.assert_allclose(exp2, 2.0)
+
+
+def _write_pccurve(path, n=10):
+    header = (
+        "READ TERR 1 2\n!MJD\n"
+        "MJD\tT_+ve\tT_-ve\tRate\tRatepos\tRateneg\tSNR\tBGrate\tBGerr\t"
+        "CorrFact\tCtsInSrc\tBGInSrc\tExposure\tSigma\tSNR2\tObsID\n"
+    )
+    rows = []
+    for i in range(n):
+        rows.append(
+            f"{50000 + 2*i}\t0.5\t-0.5\t{1.0 + 0.05*i:.4f}\t0.1\t-0.1\t10.0\t0.01\t0.001\t"
+            f"1.1\t{100+i}\t5.0\t1000.0\t8.0\t10.0\t000{i}"
+        )
+    path.write_text(header + "\n".join(rows))
+
+
+def test_swift_lightcurve(tmp_path):
+    f = tmp_path / "PCCURVE.qdp"
+    _write_pccurve(f)
+    lc = SwiftLightcurve(str(f))
+    assert lc.n == 10
+    # MJD -> seconds
+    np.testing.assert_allclose(np.diff(lc.times), 2 * 86400.0)
+    # exposure corrected by CorrFact
+    np.testing.assert_allclose(lc.exposures, 1000.0 / 1.1)
+    # background rescaled by CorrFact
+    np.testing.assert_allclose(lc.bkg_rate, 0.01 * 1.1)
+    # symmetric error from the +/- columns
+    np.testing.assert_allclose(lc.dy, 0.1)
+
+
+def test_swift_filtering(tmp_path):
+    f = tmp_path / "PCCURVE.qdp"
+    _write_pccurve(f)
+    lc = SwiftLightcurve(str(f), minCts=105)
+    assert lc.n == 5  # CtsInSrc = 100..109, >= 105 keeps 5
+
+
+def test_fermi_lightcurve(tmp_path):
+    f = tmp_path / "fermi.csv"
+    f.write_text(
+        "mjd,flux,flux_err_neg,flux_err_pos\n"
+        + "\n".join(f"{55000+i},{2.0+0.1*i},-0.2,0.4" for i in range(8))
+    )
+    lc = FermiLightcurve(str(f))
+    assert lc.n == 8
+    np.testing.assert_allclose(lc.dy, 0.3)  # (|neg| + pos)/2
+    np.testing.assert_allclose(np.diff(lc.times), 86400.0)
+
+
+def test_readPCCURVE_legacy(tmp_path):
+    f = tmp_path / "PCCURVE.qdp"
+    _write_pccurve(f)
+    data = readingutils.readPCCURVE(str(f))
+    assert len(data) == 10
+    data = readingutils.readPCCURVE(str(f), minCts=108)
+    assert len(data) == 2
+
+
+def test_split_and_rand_remove():
+    t = np.concatenate([np.arange(10.0), 100 + np.arange(10.0)])
+    lc = GappyLightcurve(t, np.ones(20), np.full(20, 0.1))
+    parts = lc.split(interval=50.0)
+    assert len(parts) == 2
+    assert parts[0].n == 10
+
+    smaller = lc.rand_remove(5, rng=np.random.default_rng(0))
+    assert smaller.n == 15
