@@ -215,11 +215,35 @@ class GPModelling:
             )
             return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
+        # f32 fast sampler path (TPU): likelihoods through the Pallas
+        # kernel, walker batch padded to the 128-lane constraint.  Only
+        # for the unfitted constant mean (per-walker mean curves would
+        # need (W, N) mean support in the kernel).
+        def log_prob_batch_fast(thetas):
+            from mind_the_gaps_tpu.ops import pallas_log_likelihood
+
+            w = thetas.shape[0]
+            pad = (-w) % 128
+            th = jnp.concatenate([thetas, jnp.broadcast_to(thetas[:1], (pad, thetas.shape[1]))])
+            th32 = th.astype(jnp.float32)
+            coeffs = jax.vmap(kernel.coefficients)(th32)
+            lp = jax.vmap(kernel.log_prior)(th32)
+            jitter = jax.vmap(kernel.jitter)(th32)
+            const = mean_model.value(t[:1], mean_const)[0].astype(jnp.float32)
+            mean_b = jnp.full((w + pad,), const, dtype=jnp.float32)
+            ll = pallas_log_likelihood(
+                coeffs, t, y.astype(jnp.float32), diag_base.astype(jnp.float32),
+                mean=mean_b, extra_diag=jitter,
+            )
+            out = jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
+            return out[:w]
+
         self._loglike_fn = loglike
         self._logprob_fn = log_prob
         self._loglike_jit = jax.jit(loglike)
         self._logprob_jit = jax.jit(log_prob)
         self._logprob_batch = jax.jit(log_prob_batch)
+        self._logprob_batch_fast = jax.jit(log_prob_batch_fast) if not fit_mean else None
         self._nll_and_grad = jax.jit(jax.value_and_grad(lambda th: -loglike(th)))
 
     # ------------------------------------------------------------------ #
@@ -327,12 +351,19 @@ class GPModelling:
         cores: int = 6,  # kept for API parity; parallelism is on-device
         progress: bool = False,
         seed: Optional[int] = None,
+        fast: bool = False,
     ):
         """Ensemble MCMC with the reference's convergence policy
         (gpmodelling.py:197-286): every ``convergence_steps`` compute the
         autocorrelation time tau; stop once iteration > 100*tau and
         |dtau|/tau < 1%; then discard/thin by the 40tau (10tau if over
-        budget) / tau/2 rules, or 5tau / tau/4 when unconverged."""
+        budget) / tau/2 rules, or 5tau / tau/4 when unconverged.
+
+        ``fast=True`` explores the chains in float32 through the Pallas
+        TPU kernel (constant unfitted mean only; f32 tracks f64 to <0.1
+        in log-likelihood — tests/test_mixed_precision.py) and then
+        recomputes the reported log-probabilities of the thinned samples
+        in float64."""
         if initial_chain_params is None:
             if not fit:
                 initial_params = self.initial_params
@@ -359,7 +390,12 @@ class GPModelling:
         while iteration < max_steps:
             steps = min(convergence_steps, max_steps - iteration)
             self._key, sub = jax.random.split(self._key)
-            chain, lp, acc, state = sample_ensemble(sub, self._logprob_batch, state, steps)
+            logprob_fn = self._logprob_batch
+            if fast:
+                if self._logprob_batch_fast is None:
+                    raise ValueError("fast=True requires the unfitted constant mean model")
+                logprob_fn = self._logprob_batch_fast
+            chain, lp, acc, state = sample_ensemble(sub, logprob_fn, state, steps)
             chains.append(np.asarray(chain))
             lps.append(np.asarray(lp))
             iteration += steps
@@ -402,6 +438,13 @@ class GPModelling:
 
         self._loglikelihoods = sampler.get_log_prob(discard=discard, thin=thin, flat=True)
         self._mcmc_samples = sampler.get_chain(discard=discard, thin=thin, flat=True)
+        if fast and len(self._mcmc_samples):
+            # report f64 log-probabilities at the f32-explored samples
+            flat = jnp.asarray(self._mcmc_samples, dtype=jnp.float64)
+            out = []
+            for start in range(0, flat.shape[0], 4096):
+                out.append(np.asarray(self._logprob_batch(flat[start : start + 4096])))
+            self._loglikelihoods = np.concatenate(out)
         self._sampler = sampler
 
     # ------------------------------------------------------------------ #

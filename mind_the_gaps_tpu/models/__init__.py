@@ -21,6 +21,7 @@ from mind_the_gaps_tpu.models.mean_models import (
     SineModel,
     TwoSineModel,
     ConstantModel,
+    LensingProfile,
 )
 from mind_the_gaps_tpu.models import psd_models
 
@@ -39,5 +40,6 @@ __all__ = [
     "SineModel",
     "TwoSineModel",
     "ConstantModel",
+    "LensingProfile",
     "psd_models",
 ]

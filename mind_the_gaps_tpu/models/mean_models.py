@@ -19,6 +19,7 @@ __all__ = [
     "GaussianModel",
     "SineModel",
     "TwoSineModel",
+    "LensingProfile",
 ]
 
 
@@ -110,3 +111,13 @@ class TwoSineModel(MeanModel):
         t = jnp.asarray(t)
         c, a0, p0, a1, p1, f = (theta[i] for i in range(6))
         return c + a0 * jnp.sin(f * t + p0) + a1 * jnp.sin(2 * f * t + p1)
+
+
+class LensingProfile(MeanModel):
+    """Microlensing magnification profile placeholder (the reference ships
+    this as an unimplemented stub returning NaN, mean_models.py:34-38)."""
+
+    parameter_names = ("lense_mass", "stellar_mass")
+
+    def value(self, t, theta):
+        return jnp.full(jnp.asarray(t).shape, jnp.nan)
