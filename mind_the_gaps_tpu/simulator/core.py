@@ -71,11 +71,15 @@ def tk95_rates(key, psd_values, n_fft: int, dt: float):
     nf = n_fft // 2 + 1
     re, im = jax.random.normal(key, (2, nf), dtype=psd_values.dtype)
     amp = jnp.sqrt(0.5 * psd_values)
-    # FFT in complex64: TPU FFTs do not support c128; the draw is
-    # statistical, so f32 spectral precision is ample.
-    fft = ((re[1:] + 1j * im[1:]) * amp[1:]).astype(jnp.complex64)
+    # FFT in complex64: TPU FFTs do not support c128 (and the x64
+    # rewriter cannot even form c128 intermediates), so build the
+    # complex spectrum from f32 parts; the draw is statistical and f32
+    # spectral precision is ample.
+    re32 = (re[1:] * amp[1:]).astype(jnp.float32)
+    im32 = (im[1:] * amp[1:]).astype(jnp.float32)
+    fft = jax.lax.complex(re32, im32)
     if n_fft % 2 == 0:
-        fft = fft.at[-1].set(fft[-1].real.astype(jnp.complex64))
+        fft = fft.at[-1].set(jax.lax.complex(re32[-1], jnp.float32(0.0)))
     fft = jnp.concatenate([jnp.asarray([1e6 + 0j], dtype=fft.dtype), fft])
     counts = jnp.fft.irfft(fft, n=n_fft).astype(psd_values.dtype)
     rate = counts * (math.sqrt(n_fft * dt * _SQRT_2PI) / dt)
