@@ -75,9 +75,10 @@ def main():
     )
     dt = time.time() - t0
 
-    print(f"\nT_obs = {res.t_obs:.2f}")
+    print(f"\nT_obs (matched) = {res.t_obs:.2f};  T_obs (posterior chain) = {res.t_obs_posterior:.2f}")
     print(f"T_dist: median {np.median(res.t_dist):.2f}, 99th pct {np.percentile(res.t_dist, 99):.2f}")
-    print(f"p-value = {res.p_value:.4f}  ({args.nsims} simulations, {dt:.1f} s total)")
+    print(f"p-value = {res.p_value:.4f} (matched; posterior-chain p = {res.p_value_posterior:.4f})")
+    print(f"({args.nsims} simulations, {dt:.1f} s total)")
     if res.p_value < 0.01:
         print("=> the QPO term is strongly preferred")
     else:

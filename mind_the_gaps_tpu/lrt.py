@@ -58,6 +58,8 @@ class LRTResult:
     alt_model: GPModelling
     null_sim_loglikes: np.ndarray
     alt_sim_loglikes: np.ndarray
+    t_obs_posterior: float = None
+    p_value_posterior: float = None
     sim_rates: np.ndarray = field(repr=False, default=None)
     sim_dy: np.ndarray = field(repr=False, default=None)
 
@@ -278,11 +280,21 @@ def protassov_lrt(
     null_model: Optional[GPModelling] = None,
     alt_model: Optional[GPModelling] = None,
     progress: bool = False,
+    matched_estimator: bool = True,
 ) -> LRTResult:
     """Run the full Protassov LRT (SURVEY.md §3.4) end to end.
 
     Pass pre-fit ``null_model``/``alt_model`` (with posteriors derived) to
     skip step 1.
+
+    ``matched_estimator`` (default True): compute the observed T with the
+    SAME short-chain fitter used for the simulations.  The reference
+    compares a long-chain observed maximum against short-chain simulated
+    maxima (50,000 vs 500 steps in its tutorial), which biases T_obs high
+    and makes the p-value anti-conservative; the matched estimator is
+    calibrated (examples/validation_pvalue_calibration.py).  The
+    posterior-chain T and its p-value are still reported as
+    ``t_obs_posterior`` / ``p_value_posterior`` for reference parity.
     """
     key = jax.random.key(seed)
 
@@ -290,12 +302,14 @@ def protassov_lrt(
     if null_model is None:
         null_model = GPModelling(lightcurve, null_kernel)
         null_model.derive_posteriors(
-            max_steps=observed_max_steps, walkers=observed_walkers, progress=progress
+            max_steps=observed_max_steps, walkers=observed_walkers, progress=progress,
+            seed=seed + 101,
         )
     if alt_model is None:
         alt_model = GPModelling(lightcurve, alt_kernel)
         alt_model.derive_posteriors(
-            max_steps=observed_max_steps, walkers=observed_walkers, progress=progress
+            max_steps=observed_max_steps, walkers=observed_walkers, progress=progress,
+            seed=seed + 102,
         )
 
     t_obs = -2.0 * (null_model.max_loglikelihood - alt_model.max_loglikelihood)
@@ -323,18 +337,38 @@ def protassov_lrt(
     null_lls = null_lls.astype(np.float64)
     alt_lls = alt_lls.astype(np.float64)
 
-    # 4. T distribution and p-value (reference nb: percentileofscore)
+    # 4. T distribution and p-values (reference nb: percentileofscore)
     t_dist = -2.0 * (null_lls - alt_lls)
-    p_value = 1.0 - percentile_of_score(t_dist, t_obs) / 100.0
+    p_posterior = 1.0 - percentile_of_score(t_dist, t_obs) / 100.0
+
+    if matched_estimator:
+        key, k_obs0, k_obs1 = jax.random.split(key, 3)
+        dy_obs = lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n)
+        ll0_obs, _ = fit_lightcurves_batch(
+            k_obs0, null_kernel, lightcurve.times, lightcurve.y[None, :], dy_obs[None, :],
+            theta0_null, walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+        )
+        ll1_obs, _ = fit_lightcurves_batch(
+            k_obs1, alt_kernel, lightcurve.times, lightcurve.y[None, :], dy_obs[None, :],
+            theta0_alt, walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+        )
+        t_obs_matched = -2.0 * (float(ll0_obs[0]) - float(ll1_obs[0]))
+        p_value = 1.0 - percentile_of_score(t_dist, t_obs_matched) / 100.0
+        t_main = t_obs_matched
+    else:
+        p_value = p_posterior
+        t_main = float(t_obs)
 
     return LRTResult(
-        t_obs=float(t_obs),
+        t_obs=float(t_main),
         t_dist=t_dist,
         p_value=float(p_value),
         null_model=null_model,
         alt_model=alt_model,
         null_sim_loglikes=null_lls,
         alt_sim_loglikes=alt_lls,
+        t_obs_posterior=float(t_obs),
+        p_value_posterior=float(p_posterior),
         sim_rates=sim_rates,
         sim_dy=sim_dy,
     )
