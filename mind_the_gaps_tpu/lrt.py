@@ -281,6 +281,7 @@ def protassov_lrt(
     alt_model: Optional[GPModelling] = None,
     progress: bool = False,
     matched_estimator: bool = True,
+    observed_fast: bool = False,
 ) -> LRTResult:
     """Run the full Protassov LRT (SURVEY.md §3.4) end to end.
 
@@ -303,13 +304,13 @@ def protassov_lrt(
         null_model = GPModelling(lightcurve, null_kernel)
         null_model.derive_posteriors(
             max_steps=observed_max_steps, walkers=observed_walkers, progress=progress,
-            seed=seed + 101,
+            seed=seed + 101, fast=observed_fast,
         )
     if alt_model is None:
         alt_model = GPModelling(lightcurve, alt_kernel)
         alt_model.derive_posteriors(
             max_steps=observed_max_steps, walkers=observed_walkers, progress=progress,
-            seed=seed + 102,
+            seed=seed + 102, fast=observed_fast,
         )
 
     t_obs = -2.0 * (null_model.max_loglikelihood - alt_model.max_loglikelihood)
