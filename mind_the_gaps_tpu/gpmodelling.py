@@ -39,6 +39,7 @@ from mind_the_gaps_tpu.sampler.autocorr import (
 )
 from mind_the_gaps_tpu.solver import log_likelihood as solver_log_likelihood
 from mind_the_gaps_tpu.solver import predict as solver_predict
+from mind_the_gaps_tpu.solver import predict_at as solver_predict_at
 
 __all__ = ["GPModelling"]
 
@@ -480,6 +481,46 @@ class GPModelling:
             pred_var = pred_var + jitter
         std_res = (np.asarray(self._y) - np.asarray(pred_mean)) / np.sqrt(np.asarray(pred_var))
         return std_res
+
+    def predict(self, t_pred=None, parameters=None, return_var: bool = True, include_noise: bool = False):
+        """GP predictive mean (and variance) at ``t_pred`` (defaults to the
+        training times) — the celerite ``gp.predict`` API used for
+        plotting model curves in the reference's notebooks."""
+        theta = (
+            np.asarray(parameters, dtype=float)
+            if parameters is not None
+            else self.get_parameter_vector()
+        )
+        th_k = jnp.asarray(theta[: self._nk])
+        th_m = (
+            jnp.asarray(theta[self._nk:])
+            if self.fit_mean
+            else jnp.asarray(self.mean_model.get_parameter_vector())
+        )
+        mean_train = self.mean_model.value(self._t, th_m)
+        coeffs = self.kernel.coefficients(th_k)
+        jitter = self.kernel.jitter(th_k)
+        diag = self._diag_base + jitter
+        if t_pred is None:
+            mu_res, var = solver_predict(coeffs, self._t, self._y - mean_train, diag)
+            mu = np.asarray(mu_res + mean_train)
+            var = np.asarray(var)
+        else:
+            t_pred = np.asarray(t_pred, dtype=float)
+            mean_pred = self.mean_model.value(jnp.asarray(t_pred), th_m)
+            out = solver_predict_at(
+                coeffs, self._t, self._y - mean_train, diag, t_pred, return_var=return_var
+            )
+            if return_var:
+                mu = np.asarray(out[0] + mean_pred)
+                var = np.asarray(out[1])
+            else:
+                return np.asarray(out + mean_pred)
+        if not return_var:
+            return mu
+        if include_noise:
+            var = var + float(jitter)
+        return mu, var
 
     def get_rstat(self, burnin: Optional[int] = None):
         """Gelman-Rubin-style ratio per walker/parameter (faithful to the

@@ -19,6 +19,7 @@ from mind_the_gaps_tpu.solver.semiseparable import (
     solve,
     predict_mean,
     predict,
+    predict_at,
     inverse_diag,
 )
 
@@ -32,6 +33,7 @@ __all__ = [
     "solve",
     "predict_mean",
     "predict",
+    "predict_at",
     "inverse_diag",
     "kalman_log_likelihood",
     "parallel_kalman_log_likelihood",

@@ -275,6 +275,42 @@ def inverse_diag(m: CeleriteMatrices, D, W):
     return 1.0 / D + g
 
 
+def predict_at(coeffs, t, y, diag, t_pred, mean=0.0, return_var: bool = True):
+    """GP predictive mean (and variance) at arbitrary test points —
+    the celerite ``gp.predict(y, t_pred)`` used for plotting model curves
+    in the reference's notebooks.
+
+    mean: mu(s) = k(s, t) K^{-1} r.  The cross-covariance application is
+    one (M, N) x (N,) matmul (MXU-friendly); the variance needs M solves
+    K x = k(:, s) done as one vmapped O(N R^2) scan per test point.
+    """
+    t = jnp.asarray(t)
+    t_pred = jnp.asarray(t_pred)
+    m = build_matrices(coeffs, t, diag)
+    D, W, _ = factor(m)
+    r = jnp.asarray(y) - mean
+    alpha = solve(m, D, W, r)
+
+    ar, cr, ac, bc, cc, dc = coeffs
+    tau = jnp.abs(t_pred[:, None] - t[None, :])
+    Ks = jnp.zeros_like(tau)
+    if ar.shape[0]:
+        Ks = Ks + jnp.sum(ar * jnp.exp(-cr * tau[..., None]), axis=-1)
+    if ac.shape[0]:
+        Ks = Ks + jnp.sum(
+            jnp.exp(-cc * tau[..., None])
+            * (ac * jnp.cos(dc * tau[..., None]) + bc * jnp.sin(dc * tau[..., None])),
+            axis=-1,
+        )
+    mu = Ks @ alpha + mean
+    if not return_var:
+        return mu
+    k0 = jnp.sum(ar) + jnp.sum(ac) if (ar.shape[0] or ac.shape[0]) else jnp.zeros(())
+    x = jax.vmap(lambda col: solve(m, D, W, col))(Ks)  # (M, N)
+    var = k0 - jnp.sum(Ks * x, axis=1)
+    return mu, var
+
+
 def predict(coeffs, t, y, diag, mean=0.0):
     """Predictive mean and variance at the training points, all O(N R^2).
 

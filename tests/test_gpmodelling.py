@@ -200,3 +200,31 @@ def test_mean_models_build():
         assert np.isfinite(gp._log_probability(gp.initial_params)) or mm == "gaussian"
     with pytest.raises(ValueError):
         GPModelling(lc, kernel, mean_model="quadratic")
+
+
+def test_predict_at_new_points(drw_lightcurve):
+    """GPModelling.predict at arbitrary points: matches the dense GP
+    formulas and interpolates sensibly."""
+    lc, (ls0, lw0) = drw_lightcurve
+    kernel = DampedRandomWalk(log_S0=ls0, log_omega0=lw0)
+    gp = GPModelling(lc, kernel)
+
+    t_pred = np.linspace(lc.times[10], lc.times[40], 37)
+    mu, var = gp.predict(t_pred)
+    assert mu.shape == (37,) and var.shape == (37,)
+    assert np.all(var > 0)
+
+    # dense ground truth
+    tau_tt = np.abs(lc.times[:, None] - lc.times[None, :])
+    K = np.array(kernel.covariance(tau_tt)) + np.diag((lc.dy + 1e-12) ** 2)
+    tau_st = np.abs(t_pred[:, None] - lc.times[None, :])
+    Ks = np.array(kernel.covariance(tau_st))
+    m = lc.mean
+    mu_ref = m + Ks @ np.linalg.solve(K, lc.y - m)
+    var_ref = float(kernel.variance()) - np.einsum("ij,jk,ik->i", Ks, np.linalg.inv(K), Ks)
+    np.testing.assert_allclose(mu, mu_ref, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-5, atol=1e-8)
+
+    # default (training points) agrees with standarized_residuals pieces
+    mu_train, var_train = gp.predict()
+    assert mu_train.shape == (lc.n,)
