@@ -338,3 +338,29 @@ def test_batched_matches_single_statistics():
     assert batched.shape == (64, len(timestamps))
     np.testing.assert_allclose(batched.mean(), singles.mean(), atol=0.5)
     np.testing.assert_allclose(batched.std(), singles.std(), rtol=0.25)
+
+
+def test_generate_batch_with_kraft_noise():
+    """The posterior-predictive batch path must work with the Kraft
+    (low-count Bayesian) noise model selected via background rates."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    n = 60
+    times = np.cumsum(rng.uniform(40.0, 80.0, n))
+    psd_model = psd_models.BendingPowerlaw(S0=0.001, omega0=0.01)
+    bkg_rate = np.full(n, 0.05)
+    sim = Simulator(
+        psd_model, times, 10.0, 0.5, "Gaussian",
+        bkg_rate=bkg_rate, bkg_rate_err=np.full(n, 0.01),
+        extension_factor=2, random_state=1,
+    )
+    assert sim.noise.name == "Kraft"
+    psd_vals = np.asarray(sim._psd_values())
+    batch = jnp.broadcast_to(jnp.asarray(psd_vals), (6, len(psd_vals)))
+    rates = sim.simulate_batch(jax.random.key(0), batch)
+    noisy, dy = sim.add_noise_batch(jax.random.key(1), rates)
+    noisy, dy = np.asarray(noisy), np.asarray(dy)
+    assert noisy.shape == (6, n)
+    assert np.all(np.isfinite(noisy)) and np.all(np.isfinite(dy))
+    assert np.all(dy > 0)
