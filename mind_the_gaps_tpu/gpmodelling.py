@@ -663,6 +663,16 @@ class GPModelling:
         times = self._lightcurve.times
         return [GappyLightcurve(times, np.asarray(r), np.asarray(e)) for r, e in zip(rates, dy)]
 
+    def _generate_lc_from_params(self, parameters, simulator) -> GappyLightcurve:
+        """Generate one lightcurve from one posterior draw (API parity
+        with reference gpmodelling.py:515-539; the batched path above is
+        the production route)."""
+        th_k = jnp.asarray(np.asarray(parameters, dtype=float)[: self._nk])
+        simulator.psd_model = lambda w: self.kernel.get_psd(w, th_k)
+        rates = simulator.generate_lightcurve()
+        noisy_rates, dy = simulator.add_noise(rates)
+        return GappyLightcurve(self._lightcurve.times, noisy_rates, dy)
+
     def generate_batch_from_posteriors(
         self,
         nsims: int,
