@@ -76,9 +76,10 @@ def build_matrices(coeffs, t, diag) -> CeleriteMatrices:
         gp.compute(times, dy + 1e-12) => diag = (dy + 1e-12)^2).
     """
     ar, cr, ac, bc, cc, dc = coeffs
+    dtype = ar.dtype
     t = jnp.asarray(t)
-    tc = t - t[0]  # shift-invariant; keeps trig arguments small
-    dt = jnp.diff(t, prepend=t[:1])  # dt[0] = 0 -> P row 0 = 1
+    tc = (t - t[0]).astype(dtype)  # shift-invariant; keeps trig args small
+    dt = jnp.diff(t, prepend=t[:1]).astype(dtype)  # dt[0] = 0 -> P row 0 = 1
 
     blocks_U, blocks_V, blocks_P = [], [], []
     if ar.shape[0]:
@@ -101,7 +102,7 @@ def build_matrices(coeffs, t, diag) -> CeleriteMatrices:
     U = jnp.concatenate(blocks_U, axis=1)
     V = jnp.concatenate(blocks_V, axis=1)
     P = jnp.concatenate(blocks_P, axis=1)
-    A = jnp.asarray(diag) + jnp.sum(ar) + jnp.sum(ac)
+    A = jnp.asarray(diag, dtype=dtype) + jnp.sum(ar) + jnp.sum(ac)
     A = jnp.broadcast_to(A, tc.shape) if A.ndim == 0 else A
     return CeleriteMatrices(U, V, P, A)
 
@@ -147,7 +148,7 @@ def log_likelihood(coeffs, t, y, diag, mean=0.0):
     """
     m = build_matrices(coeffs, t, diag)
     U, V, P, A = m
-    r = jnp.asarray(y) - mean
+    r = (jnp.asarray(y) - mean).astype(U.dtype)
     R = U.shape[1]
 
     D0 = A[0]
