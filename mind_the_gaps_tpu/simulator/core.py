@@ -98,31 +98,40 @@ def e13_adjust(key, segment_rates, pdf: str, mean, max_iter: int, std=None, rtol
     namp = m // 2 + 1
     sample_std = jnp.std(segment_rates) if std is None else std
     xsim = sample_pdf(key, pdf, mean, sample_std, (m,))
-    # FFTs in f32/c64 (TPU supports c64 only).  The spectrum is used for
-    # phases and for the ORDERING of the adjusted series; the output
-    # values themselves are the exact (full-precision) sorted PDF draws.
+    # FFTs/sorts run in f32 (TPU supports c64 FFTs only, and f32 sorts
+    # are the loop's hot op).  The spectrum provides phases and the
+    # ORDERING; the output values are always a permutation of the
+    # original full-precision draws.
     amplitudes_norm = jnp.abs(jnp.fft.rfft(segment_rates.astype(jnp.float32))) / namp
+    # every iterate is a permutation of the initial draw, so its sorted
+    # values are loop constants: one argsort per iteration, not two
+    sorted_draws = -jnp.sort(-xsim)
+    sorted_draws32 = sorted_draws.astype(jnp.float32)
 
-    def spectral_step(x):
-        phases = jnp.angle(jnp.fft.rfft(x.astype(jnp.float32)))
-        adj = jnp.fft.irfft(amplitudes_norm * jnp.exp(1j * phases), n=m).astype(x.dtype)
-        # rank-order remap: adjusted series takes the sorted values of x
+    def spectral_step(x32):
+        phases = jnp.angle(jnp.fft.rfft(x32))
+        adj = jnp.fft.irfft(amplitudes_norm * jnp.exp(1j * phases), n=m)
         order = jnp.argsort(-adj)
-        return jnp.zeros_like(adj).at[order].set(-jnp.sort(-x))
+        return jnp.zeros_like(adj).at[order].set(sorted_draws32), order
 
-    xadj = spectral_step(xsim)
+    xadj, order = spectral_step(xsim.astype(jnp.float32))
 
     def not_converged(state):
-        xsim, xadj, it = state
-        close = jnp.all(jnp.abs(xadj - xsim) <= atol + rtol * jnp.abs(xsim))
+        xprev, xadj, order, it = state
+        close = jnp.all(jnp.abs(xadj - xprev) <= atol + rtol * jnp.abs(xprev))
         return jnp.logical_and(jnp.logical_not(close), it < max_iter)
 
     def body(state):
-        _, xadj, it = state
-        return xadj, spectral_step(xadj), it + 1
+        _, xadj, _, it = state
+        xnew, order = spectral_step(xadj)
+        return xadj, xnew, order, it + 1
 
-    _, xadj, iters = jax.lax.while_loop(not_converged, body, (xsim, xadj, 0))
-    return xadj, iters
+    _, xadj, order, iters = jax.lax.while_loop(
+        not_converged, body, (xsim.astype(jnp.float32), xadj, order, 0)
+    )
+    # apply the final permutation to the full-precision draws
+    out = jnp.zeros_like(sorted_draws).at[order].set(sorted_draws)
+    return out, iters
 
 
 def downsample_cumsum(segment_rates, starts, ends):
@@ -416,11 +425,26 @@ class Simulator:
     # ------------------------------------------------------------------ #
     # batched path (used by GPModelling.generate_from_posteriors)
     # ------------------------------------------------------------------ #
-    def simulate_batch(self, key, psd_values_batch):
+    def simulate_batch(self, key, psd_values_batch, chunk: int = 128):
         """Generate B lightcurves from B PSD evaluations in one jitted,
-        vmapped program: (B, n_freq) -> (B, n_times) noiseless rates."""
-        keys = jax.random.split(key, psd_values_batch.shape[0])
-        return jax.vmap(self._pipeline)(keys, psd_values_batch)
+        vmapped program: (B, n_freq) -> (B, n_times) noiseless rates.
+
+        Non-Gaussian PDFs run the E13 while-loop in lock-step across the
+        batch; chunking bounds its memory (big-batch f64 sorts have been
+        observed to crash the TPU worker) and its tail-straggler cost.
+        """
+        B = psd_values_batch.shape[0]
+        keys = jax.random.split(key, B)
+        if self.pdf.lower() == "gaussian" or B <= chunk:
+            return jax.vmap(self._pipeline)(keys, psd_values_batch)
+        outs = []
+        for start in range(0, B, chunk):
+            outs.append(
+                jax.vmap(self._pipeline)(
+                    keys[start : start + chunk], psd_values_batch[start : start + chunk]
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
 
     def add_noise_batch(self, key, rates_batch):
         keys = jax.random.split(key, rates_batch.shape[0])
