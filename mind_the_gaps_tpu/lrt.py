@@ -247,15 +247,30 @@ def fit_lightcurves_batch(
             yb = shard_batch(jnp.asarray(yb), mesh)
             db = shard_batch(jnp.asarray(db), mesh)
         key, sub = jax.random.split(key)
-        try:
-            lls, xs = runner(sub, jnp.asarray(yb), jnp.asarray(db), theta0, percent)
-            lls.block_until_ready()
-        except Exception:
-            if runner_fallback is None:
-                raise
-            runner = runner_fallback  # Mosaic unavailable: drop to XLA
+        yb_j, db_j = jnp.asarray(yb), jnp.asarray(db)
+        exec_fn = runner
+        if runner_fallback is not None:
+            # Gate the Pallas path on an explicit ahead-of-time compile:
+            # Mosaic being unavailable / failing to lower is a
+            # compile-time condition, and only that may trigger the XLA
+            # fallback.  Runtime errors (OOM, bad values) from the
+            # compiled program must propagate, not be swallowed as a
+            # silent 2.4x slowdown.  The AOT executable is used directly
+            # for this chunk so the compile is not paid twice.
+            try:
+                exec_fn = runner.lower(sub, yb_j, db_j, theta0, percent).compile()
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    "Pallas solver failed to compile on this backend "
+                    f"({type(exc).__name__}: {exc}); falling back to the XLA scan solver"
+                )
+                runner = runner_fallback
+                exec_fn = runner
             runner_fallback = None
-            lls, xs = runner(sub, jnp.asarray(yb), jnp.asarray(db), theta0, percent)
+        lls, xs = exec_fn(sub, yb_j, db_j, theta0, percent)
+        lls.block_until_ready()
         best_lls.append(np.asarray(lls)[:nb])
         best_xs.append(np.asarray(xs)[:nb])
     return np.concatenate(best_lls), np.concatenate(best_xs)

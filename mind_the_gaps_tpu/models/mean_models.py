@@ -85,16 +85,31 @@ class LinearModel(MeanModel):
 
 
 class GaussianModel(MeanModel):
-    """Gaussian bump + constant (reference mean_models.py:6-10; the
-    reference class has no constant in its 3-parameter form used by
-    GPModelling, so constant defaults to 0)."""
+    """Gaussian bump + constant (reference mean_models.py:6-10).
 
-    parameter_names = ("mean", "sigma", "amplitude")
+    The reference declares 4 parameters (mean, sigma, amplitude,
+    constant) but its GPModelling only ever constructs the 3-parameter
+    form (reference gpmodelling.py:114-122 passes no constant, which
+    celerite would reject).  Both forms work here: pass a 4th value (or
+    ``constant=``) to fit the offset; omit it for the 3-parameter model
+    with the offset fixed at 0."""
+
+    parameter_names = ("mean", "sigma", "amplitude", "constant")
+
+    def __init__(self, *args, bounds: Optional[Sequence[Tuple]] = None, **kwargs):
+        if len(args) < 4 and "constant" not in kwargs:
+            # 3-parameter form: the constant is not a free parameter
+            self.parameter_names = ("mean", "sigma", "amplitude")
+        super().__init__(*args, bounds=bounds, **kwargs)
 
     def value(self, t, theta):
         mean, sigma, amplitude = theta[0], theta[1], theta[2]
+        constant = theta[3] if len(self.parameter_names) == 4 else 0.0
         t = jnp.asarray(t)
-        return amplitude / (2 * jnp.pi * sigma) * jnp.exp(-((t - mean) ** 2) / (2 * sigma**2))
+        return (
+            amplitude / (2 * jnp.pi * sigma) * jnp.exp(-((t - mean) ** 2) / (2 * sigma**2))
+            + constant
+        )
 
 
 class SineModel(MeanModel):

@@ -76,3 +76,23 @@ def test_jitter_property():
 
     k = DampedRandomWalk(0.0, -1.0) + JitterTerm(log_sigma=0.5)
     np.testing.assert_allclose(float(k.jitter()), np.exp(2 * 0.5), rtol=1e-12)
+
+
+def test_gaussian_mean_model_constant_param():
+    """Reference mean_models.py:6-10 declares (mean, sigma, amplitude,
+    constant); both the 4-param standalone form and the 3-param form
+    GPModelling constructs must work."""
+    import numpy as np
+    from mind_the_gaps_tpu.models import GaussianModel
+
+    t = np.linspace(0.0, 10.0, 50)
+    g3 = GaussianModel(5.0, 1.0, 2.0)
+    g4 = GaussianModel(5.0, 1.0, 2.0, 3.5)
+    assert g3.ndim == 3 and g4.ndim == 4
+    v3 = np.asarray(g3.value(t, g3.get_parameter_vector()))
+    v4 = np.asarray(g4.value(t, g4.get_parameter_vector()))
+    np.testing.assert_allclose(v4, v3 + 3.5, rtol=1e-12)
+    g4k = GaussianModel(5.0, 1.0, 2.0, constant=3.5)
+    np.testing.assert_allclose(
+        np.asarray(g4k.value(t, g4k.get_parameter_vector())), v4, rtol=1e-12
+    )
