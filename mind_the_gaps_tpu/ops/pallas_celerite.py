@@ -74,11 +74,16 @@ def _make_kernel(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: 
         # Mosaic's vector lane-broadcast from a 1-lane block is orders of
         # magnitude slower)
         def fill(dst, src):
-            dst[:, :] = jax.lax.dot_general(
-                src[:, :], e_ref[:, :], (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=dtype,
-            )
+            if grouped and g_tile == _T:
+                # repeats == 1: every batch element has its own series
+                # row — the expansion is the identity, skip the matmul
+                dst[:, :] = src[:, :]
+            else:
+                dst[:, :] = jax.lax.dot_general(
+                    src[:, :], e_ref[:, :], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=dtype,
+                )
 
         fill(yx_scr, y_ref)
         fill(dx_scr, diag_ref)
@@ -218,7 +223,10 @@ def pallas_log_likelihood(
 
     coeffs: Coefficients with leading batch dim B (B % 128 == 0).
     y/diag: shared (N,) when repeats == 1, or per-group (G, N) with
-    B = G*repeats (element b uses group b // repeats).
+    B = G*repeats (element b uses group b // repeats).  A 2-D y with
+    repeats == 1 means G == B: every batch element has its OWN series —
+    the per-walker-residual layout used when the GP mean model is fitted
+    (each walker subtracts its own mean curve before the solve).
     mean / extra_diag: optional per-element (B,) vectors.
     float32 recommended on TPU (the f64 variant is CPU/interpret-only).
     """
@@ -229,7 +237,13 @@ def pallas_log_likelihood(
     dtype = ar.dtype
     Jr, Jc = ar.shape[1], ac.shape[1]
     R = Jr + 2 * Jc
-    grouped = repeats > 1
+    per_element = repeats == 1 and jnp.ndim(y) == 2
+    if per_element:
+        if jnp.asarray(y).shape[0] != B:
+            raise ValueError("per-element series (2-D y with repeats=1) needs y.shape[0] == B")
+        if jnp.ndim(diag) == 1:
+            diag = jnp.broadcast_to(jnp.asarray(diag, dtype=dtype)[None, :], jnp.asarray(y).shape)
+    grouped = repeats > 1 or per_element
 
     if not grouped:
         # Route shared data through the grouped path: Mosaic vector ops

@@ -276,40 +276,154 @@ def inverse_diag(m: CeleriteMatrices, D, W):
     return 1.0 / D + g
 
 
+def _test_point_generators(coeffs, t0, s):
+    """Generator rows U(s), V(s) and the per-channel decay rate vector at
+    an arbitrary time s (same absolute-phase convention and column order
+    as build_matrices)."""
+    ar, cr, ac, bc, cc, dc = coeffs
+    sc = s - t0
+    parts_u, parts_v, parts_c = [], [], []
+    if ar.shape[0]:
+        parts_u.append(ar)
+        parts_v.append(jnp.ones_like(ar))
+        parts_c.append(cr)
+    if ac.shape[0]:
+        arg = dc * sc
+        cos, sin = jnp.cos(arg), jnp.sin(arg)
+        u1 = ac * cos + bc * sin
+        u2 = ac * sin - bc * cos
+        parts_u.append(jnp.stack([u1, u2], axis=-1).reshape(2 * ac.shape[0]))
+        parts_v.append(jnp.stack([cos, sin], axis=-1).reshape(2 * ac.shape[0]))
+        parts_c.append(jnp.stack([cc, cc], axis=-1).reshape(2 * ac.shape[0]))
+    u = jnp.concatenate(parts_u) if len(parts_u) > 1 else parts_u[0]
+    v = jnp.concatenate(parts_v) if len(parts_v) > 1 else parts_v[0]
+    cvec = jnp.concatenate(parts_c) if len(parts_c) > 1 else parts_c[0]
+    return u, v, cvec
+
+
+def _predict_tables(m: CeleriteMatrices, D, W, alpha):
+    """Per-gap R x R quadratic-form tables for O(R^2)-per-point GP
+    prediction (the selected-inverse generalization of ``inverse_diag``).
+
+    With the Cholesky K = L D L^T and a test point s in gap p
+    (t_p <= s < t_{p+1}), the cross-covariance splits as
+    ks = G^(p) a + H^(p) c with R-vectors a = phi_s * U(s) (decay from
+    t_p) and c = psi_s * V(s) (decay to t_{p+1}), G rows n<=p carrying
+    decayed V_n and H rows n>p carrying decayed U_n.  Then
+
+        ks^T K^-1 ks = a^T A_p a + 2 a^T B_p c + c^T C_p c
+        ks^T K^-1 r  = a^T g_p + c^T h_p
+
+    where all tables depend on p only.  Forward scan (states Phi/Ahat:
+    the substitution L^-1 G of the self-anchored V rows, re-anchored by
+    the gap decay each step) gives A_p = Ahat_p + Psi_{p+1}^T H_{p+1}
+    Psi_{p+1}; the backward scan propagates the ``inverse_diag`` H matrix
+    together with C (the L^-1 H quadratic form) and the coupling J, which
+    also yields B_p = -Psi_{p+1}^T J_p^T.  O(N R^3) total, O(R^2) per
+    query — replaces the M independent O(N R^2) solves (VERDICT r1 #5).
+
+    Returns (A, B, C, g, h): arrays indexed by p = 0..N, shapes
+    (N+1, R, R) x3 and (N+1, R) x2.
+    """
+    U, V, P, A_ = m
+    N, R = U.shape
+    dtype = U.dtype
+    eye = jnp.eye(R, dtype=dtype)
+    # P_{n+1} aligned with row n (ones past the last row)
+    P1 = jnp.concatenate([P[1:], jnp.ones((1, R), dtype=dtype)])
+
+    # ---- forward: Ahat_p, Psi_{p+1}, g_p for p = 1..N ----------------- #
+    def fwd(carry, inp):
+        Phi, Ahat, g = carry
+        Un, Vn, Wn, Pn, Pn1, Dn, an = inp
+        zeta = Vn - Phi.T @ Un
+        Ahat = (Pn[:, None] * Pn[None, :]) * Ahat + jnp.outer(zeta, zeta) / Dn
+        g = Pn * g + Vn * an
+        Psi = Pn1[:, None] * (Phi + jnp.outer(Wn, zeta))
+        Phi_next = Psi * Pn1[None, :]
+        return (Phi_next, Ahat, g), (Ahat, Psi, g)
+
+    init = (jnp.zeros((R, R), dtype), jnp.zeros((R, R), dtype), jnp.zeros((R,), dtype))
+    _, (Ahat, Psi, g_all) = jax.lax.scan(fwd, init, (U, V, W, P, P1, D, alpha))
+
+    # ---- backward: H_{k+1}, C_{k-1}, J_{k-1}, h_{k-1} for k = N..1 ---- #
+    def bwd(carry, inp):
+        Hn, C, J, h = carry  # Hn = H_{k+1}, C = C_k, J = J_k, h = h_k
+        Un, Wn, Pn1, Dn, an = inp
+        Lam = jnp.outer(Un, Un) / Dn
+        M = Pn1[:, None] * (eye - jnp.outer(Wn, Un))
+        Th = Pn1[:, None] * jnp.outer(Wn, Un)
+        cross = -(Pn1[:, None] * (J @ Th))
+        C_prev = Lam + (Pn1[:, None] * Pn1[None, :]) * C + cross + cross.T + Th.T @ Hn @ Th
+        J_prev = Lam + Pn1[:, None] * (J @ M) - Th.T @ Hn @ M
+        H_k = Lam + M.T @ Hn @ M
+        h_prev = Un * an + Pn1 * h
+        return (H_k, C_prev, J_prev, h_prev), (Hn, C_prev, J_prev, h_prev)
+
+    zero_m = jnp.zeros((R, R), dtype)
+    initb = (zero_m, zero_m, zero_m, jnp.zeros((R,), dtype))
+    inputs_rev = (U[::-1], W[::-1], P1[::-1], D[::-1], alpha[::-1])
+    _, (Hn1_r, C_r, J_r, h_r) = jax.lax.scan(bwd, initb, inputs_rev)
+    Hn1 = Hn1_r[::-1]  # Hn1[k-1] = H_{k+1}, aligned with row k (1-based)
+    C_low = C_r[::-1]  # C_low[k-1] = C_{k-1}
+    J_low = J_r[::-1]  # J_low[k-1] = J_{k-1}
+    h_low = h_r[::-1]  # h_low[k-1] = h_{k-1}
+
+    # assemble per-gap tables indexed by p = 0..N
+    A_tail = jnp.einsum("nij,njk,nkl->nil", jnp.swapaxes(Psi, 1, 2), Hn1, Psi)
+    A_full = Ahat + A_tail  # index n-1 <-> p = n
+    J_full = jnp.concatenate([J_low[1:], zero_m[None]])  # J_p for p = 1..N
+    B_full = -jnp.einsum("nij,nkj->nik", jnp.swapaxes(Psi, 1, 2), J_full)
+
+    A = jnp.concatenate([zero_m[None], A_full])
+    B = jnp.concatenate([zero_m[None], B_full])
+    C = jnp.concatenate([C_low, zero_m[None]])
+    g = jnp.concatenate([jnp.zeros((1, R), dtype), g_all])
+    h = jnp.concatenate([h_low, jnp.zeros((1, R), dtype)])
+    return A, B, C, g, h
+
+
 def predict_at(coeffs, t, y, diag, t_pred, mean=0.0, return_var: bool = True):
     """GP predictive mean (and variance) at arbitrary test points —
     the celerite ``gp.predict(y, t_pred)`` used for plotting model curves
-    in the reference's notebooks.
+    in the reference's notebooks (reference gpmodelling.py:366).
 
-    mean: mu(s) = k(s, t) K^{-1} r.  The cross-covariance application is
-    one (M, N) x (N,) matmul (MXU-friendly); the variance needs M solves
-    K x = k(:, s) done as one vmapped O(N R^2) scan per test point.
-    """
+    Both mean and variance run through the per-gap quadratic-form tables
+    of ``_predict_tables``: O((N + M) R^2) total instead of one O(N R^2)
+    solve per test point."""
     t = jnp.asarray(t)
     t_pred = jnp.asarray(t_pred)
     m = build_matrices(coeffs, t, diag)
     D, W, _ = factor(m)
     r = jnp.asarray(y) - mean
     alpha = solve(m, D, W, r)
+    dtype = m.U.dtype
+
+    A, B, C, g, h = _predict_tables(m, D, W, alpha)
 
     ar, cr, ac, bc, cc, dc = coeffs
-    tau = jnp.abs(t_pred[:, None] - t[None, :])
-    Ks = jnp.zeros_like(tau)
-    if ar.shape[0]:
-        Ks = Ks + jnp.sum(ar * jnp.exp(-cr * tau[..., None]), axis=-1)
-    if ac.shape[0]:
-        Ks = Ks + jnp.sum(
-            jnp.exp(-cc * tau[..., None])
-            * (ac * jnp.cos(dc * tau[..., None]) + bc * jnp.sin(dc * tau[..., None])),
-            axis=-1,
-        )
-    mu = Ks @ alpha + mean
+    k0 = jnp.sum(ar) + jnp.sum(ac) if (ar.shape[0] or ac.shape[0]) else jnp.zeros((), dtype)
+    N = t.shape[0]
+    t0 = t[0]
+
+    def one(s):
+        p = jnp.searchsorted(t, s, side="right")  # 0..N
+        u_s, v_s, cvec = _test_point_generators(coeffs, t0, s)
+        gap_lo = jnp.where(p >= 1, s - t[jnp.clip(p - 1, 0, N - 1)], 0.0)
+        gap_hi = jnp.where(p <= N - 1, t[jnp.clip(p, 0, N - 1)] - s, 0.0)
+        a = jnp.exp(-cvec * gap_lo.astype(dtype)) * u_s
+        c = jnp.exp(-cvec * gap_hi.astype(dtype)) * v_s
+        mu = a @ g[p] + c @ h[p]
+        if not return_var:
+            return mu
+        q = a @ (A[p] @ a) + 2.0 * a @ (B[p] @ c) + c @ (C[p] @ c)
+        return mu, k0 - q
+
+    out = jax.vmap(one)(t_pred)
     if not return_var:
-        return mu
-    k0 = jnp.sum(ar) + jnp.sum(ac) if (ar.shape[0] or ac.shape[0]) else jnp.zeros(())
-    x = jax.vmap(lambda col: solve(m, D, W, col))(Ks)  # (M, N)
-    var = k0 - jnp.sum(Ks * x, axis=1)
-    return mu, var
+        return out + mean
+    mu, var = out
+    return mu + mean, var
 
 
 def predict(coeffs, t, y, diag, mean=0.0):

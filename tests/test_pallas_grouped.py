@@ -66,3 +66,38 @@ def test_pallas_shared_unchanged():
     ref = np.asarray(batched_log_likelihood(co, t, y, diag))
     pal = np.asarray(pallas_log_likelihood(co, t, y, diag, interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-10)
+
+
+def test_pallas_per_element_series():
+    """2-D y with repeats=1: every batch element owns its series (the
+    per-walker-residual layout used by fitted mean models)."""
+    kernel = DampedRandomWalk(1.0, -3.0) + Lorentzian(-1.0, 2.0, -2.0)
+    theta0 = kernel.get_parameter_vector()
+    rng = np.random.default_rng(3)
+    N, B = 180, 128
+    t = np.cumsum(rng.uniform(2.0, 8.0, N))
+    ys = rng.normal(0.0, 2.0, (B, N))
+    diags = rng.uniform(0.05, 0.2, (B, N))
+    thetas = jnp.asarray(theta0 + 0.05 * np.asarray(jax.random.normal(jax.random.key(4), (B, 5))))
+    co = jax.vmap(kernel.coefficients)(thetas)
+    jitter = jnp.asarray(rng.uniform(0.0, 0.01, B))
+
+    ref = np.asarray(batched_log_likelihood(co, t, ys, diags, extra_diag=jitter))
+    pal = np.asarray(pallas_log_likelihood(co, t, ys, diags, extra_diag=jitter, interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-10)
+
+
+def test_pallas_per_element_shared_diag():
+    """Per-element y with a shared 1-D diag broadcasts the diag."""
+    kernel = DampedRandomWalk(1.0, -3.0)
+    theta0 = kernel.get_parameter_vector()
+    rng = np.random.default_rng(4)
+    N, B = 100, 128
+    t = np.cumsum(rng.uniform(2.0, 8.0, N))
+    ys = rng.normal(0.0, 2.0, (B, N))
+    diag = np.full(N, 0.09)
+    thetas = jnp.asarray(theta0 + 0.05 * np.asarray(jax.random.normal(jax.random.key(5), (B, 2))))
+    co = jax.vmap(kernel.coefficients)(thetas)
+    ref = np.asarray(batched_log_likelihood(co, t, ys, np.broadcast_to(diag, ys.shape)))
+    pal = np.asarray(pallas_log_likelihood(co, t, ys, diag, interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-10)

@@ -204,3 +204,79 @@ def test_vmap_over_parameters():
     single = jax.jit(ll)
     for i in range(16):
         np.testing.assert_allclose(float(batched[i]), float(single(thetas[i])), rtol=1e-10)
+
+
+# ------------------------------------------------------------------ #
+# predict_at: O(R^2)-per-point selected-inverse tables vs dense GP
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize(
+    "name,term",
+    [
+        ("real", DampedRandomWalk(0.5, -2.0)),
+        ("complex", Lorentzian(-0.5, 1.5, -1.0)),
+        ("mixed", DampedRandomWalk(0.5, -2.0) + Lorentzian(-0.5, 1.5, -1.0) + SHOTerm(0.2, 0.3, -1.5)),
+    ],
+)
+def test_predict_at_tables_vs_dense(name, term):
+    """predict_at (quadratic-form tables, _predict_tables) must match the
+    dense GP posterior at rtol 1e-6, including test points before/after
+    the data, inside gaps, and exactly at training times."""
+    from mind_the_gaps_tpu.solver.semiseparable import predict_at
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
+    n, m = 140, 71
+    t = np.sort(rng.uniform(0, 300, n))
+    y = rng.normal(0, 2, n)
+    diag = rng.uniform(0.05, 0.2, n)
+    t_pred = np.sort(
+        np.concatenate([np.linspace(-10, 320, m - 4), t[[3, n // 2, n - 5]], [t[10] + 1e-9]])
+    )
+
+    theta = jnp.asarray(term.get_parameter_vector())
+    co = term.coefficients(theta)
+    mu, var = predict_at(co, t, y, diag, t_pred)
+
+    tau_tt = np.abs(t[:, None] - t[None, :])
+    K = np.asarray(term.covariance(tau_tt)) + np.diag(diag)
+    tau_st = np.abs(t_pred[:, None] - t[None, :])
+    Ks = np.asarray(term.covariance(tau_st))
+    mu_ref = Ks @ np.linalg.solve(K, y)
+    var_ref = float(term.variance()) - np.einsum("ij,jk,ik->i", Ks, np.linalg.inv(K), Ks)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var), var_ref, rtol=1e-6, atol=1e-10)
+
+    mu_only = predict_at(co, t, y, diag, t_pred, return_var=False)
+    np.testing.assert_allclose(np.asarray(mu_only), mu_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_predict_at_scaling_in_m():
+    """The per-query cost must be O(R^2): a 10x denser prediction grid may
+    not cost ~10x (it did with the old one-solve-per-point path)."""
+    import time
+
+    from mind_the_gaps_tpu.solver.semiseparable import predict_at
+
+    term = DampedRandomWalk(0.5, -2.0) + Lorentzian(-0.5, 1.5, -1.0)
+    rng = np.random.default_rng(5)
+    n = 2000
+    t = np.sort(rng.uniform(0, 5000, n))
+    y = rng.normal(0, 2, n)
+    diag = np.full(n, 0.09)
+    co = term.coefficients(jnp.asarray(term.get_parameter_vector()))
+
+    fn = jax.jit(lambda tp: predict_at(co, t, y, diag, tp))
+
+    def timed(m):
+        tp = jnp.linspace(-10.0, 5010.0, m)
+        mu, var = fn(tp)
+        var.block_until_ready()  # compile
+        reps = 3
+        start = time.perf_counter()
+        for _ in range(reps):
+            mu, var = fn(tp)
+        var.block_until_ready()
+        return (time.perf_counter() - start) / reps
+
+    t200 = timed(200)
+    t2000 = timed(2000)
+    assert t2000 < 4.0 * t200, (t200, t2000)
