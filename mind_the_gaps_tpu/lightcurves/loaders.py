@@ -12,42 +12,85 @@ import numpy as np
 
 from mind_the_gaps_tpu.lightcurves.gappylightcurve import GappyLightcurve
 
-__all__ = ["SimpleLightcurve", "SwiftLightcurve", "FermiLightcurve"]
+__all__ = [
+    "SimpleLightcurve",
+    "SwiftLightcurve",
+    "FermiLightcurve",
+    "load_lightcurve_directory",
+]
 
 _DAY_S = 86400.0
+
+
+def _simple_fields(names, columns):
+    """(time, y, dy, exposures, bkg, bkg_err) from positional columns —
+    the SimpleLightcurve layout (reference simplelightcurve.py:12-60)."""
+    time = np.asarray(columns[0], dtype=float)
+    if names[0].lower() in ["mjd", "jd", "day"]:
+        time = time * _DAY_S
+    y, yerr = columns[1], columns[2]
+    if len(names) > 3:
+        exposures = columns[3]
+        if len(names) >= 6:
+            bkg_rate, bkg_err = columns[4], columns[5]
+        else:
+            bkg_rate = np.zeros(len(time))
+            bkg_err = np.zeros(len(time))
+    else:
+        warnings.warn("Lightcurve has no exposures!")
+        exposures = np.zeros(len(time))
+        bkg_rate = np.zeros(len(time))
+        bkg_err = np.zeros(len(time))
+    return time, y, yerr, exposures, bkg_rate, bkg_err
 
 
 class SimpleLightcurve(GappyLightcurve):
     """CSV with columns: time, rate, error[, exposure[, bkg_rate, bkg_err]].
 
     Time columns named mjd/jd/day are interpreted as days and converted to
-    seconds (reference simplelightcurve.py:38-42).
+    seconds (reference simplelightcurve.py:38-42).  Parsing goes through
+    the native C table parser (io/_fastio) when the file starts with a
+    header line; np.genfromtxt otherwise.
     """
 
     def __init__(self, input_file, skip_header: int = 0, delimiter=None):
-        data = np.genfromtxt(
-            input_file, names=True, skip_header=skip_header, delimiter=delimiter
-        )
-        names = data.dtype.names
-        time = np.asarray(data[names[0]], dtype=float)
-        if names[0].lower() in ["mjd", "jd", "day"]:
-            time = time * _DAY_S
-        y = data[names[1]]
-        yerr = data[names[2]]
-        if len(names) > 3:
-            exposures = data[names[3]]
-            if len(names) >= 6:
-                bkg_rate = data[names[4]]
-                bkg_err = data[names[5]]
-            else:
-                bkg_rate = np.zeros(len(time))
-                bkg_err = np.zeros(len(time))
-        else:
-            warnings.warn("Lightcurve has no exposures!")
-            exposures = np.zeros(len(time))
-            bkg_rate = np.zeros(len(time))
-            bkg_err = np.zeros(len(time))
-        super().__init__(time, y, yerr, exposures, bkg_rate, bkg_err)
+        names = columns = None
+        if skip_header == 0:
+            try:
+                from mind_the_gaps_tpu.io import load_columns
+
+                cols = load_columns(input_file)
+                if len(cols) >= 3 and not next(iter(cols)).startswith("col"):
+                    names = list(cols)
+                    columns = [cols[n] for n in names]
+            except Exception:
+                pass
+        if columns is None:
+            data = np.genfromtxt(
+                input_file, names=True, skip_header=skip_header, delimiter=delimiter
+            )
+            names = data.dtype.names
+            columns = [data[n] for n in names]
+        super().__init__(*_simple_fields(names, columns))
+
+
+def load_lightcurve_directory(paths, workers: int = 8):
+    """Bulk-load SimpleLightcurve-format files: C parse + thread pool
+    (the native replacement for looping np.genfromtxt over the
+    per-lightcurve .dat files of the reference's script pipeline,
+    docs/workflow.md:43-92).  Returns a list of GappyLightcurve."""
+    from mind_the_gaps_tpu.io import load_directory
+    from mind_the_gaps_tpu.io.fastio import _header_names
+
+    paths = list(paths)
+    tables = load_directory(paths, workers=workers)
+    out = []
+    for path, arr in zip(paths, tables):
+        names = _header_names(path)
+        if names is None or len(names) != arr.shape[1]:
+            names = [f"col{i}" for i in range(arr.shape[1])]
+        out.append(GappyLightcurve(*_simple_fields(names, [arr[:, i] for i in range(arr.shape[1])])))
+    return out
 
 
 class SwiftLightcurve(GappyLightcurve):

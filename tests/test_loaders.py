@@ -111,3 +111,55 @@ def test_split_and_rand_remove():
 
     smaller = lc.rand_remove(5, rng=np.random.default_rng(0))
     assert smaller.n == 15
+
+
+# ------------------------------------------------------------------ #
+# native fastio parser (C extension with numpy fallback)
+# ------------------------------------------------------------------ #
+def test_fastio_parse_qdp_and_csv(tmp_path):
+    from mind_the_gaps_tpu.io import load_columns, load_table
+    from mind_the_gaps_tpu.io.fastio import _parse_numpy
+
+    qdp = (
+        b"! Swift-XRT data\nREAD TERR 1 2\n"
+        b"!Time Tpos Tneg Rate Ratepos Rateneg\n"
+        b"110.0 5.0 -5.0 0.31 0.02 -0.02\n"
+        b"130.0 5.0 -5.0 NO 0.03 -0.03\n"
+        b"150.0 5.0 -5.0 0.29 0.02 -0.02\n"
+    )
+    p = tmp_path / "a.qdp"
+    p.write_bytes(qdp)
+    arr = load_table(str(p))
+    assert arr.shape == (3, 6)
+    assert np.isnan(arr[1, 3]) and arr[2, 0] == 150.0
+    # the C parser and the numpy fallback must agree exactly
+    ref, _ = _parse_numpy(qdp)
+    np.testing.assert_array_equal(np.nan_to_num(arr, nan=-1), np.nan_to_num(ref, nan=-1))
+
+    c = tmp_path / "b.csv"
+    c.write_text("mjd,rate,error\n55000.5,1.2,0.1\n55001.5,1.3,0.1\n")
+    cols = load_columns(str(c))
+    assert list(cols) == ["mjd", "rate", "error"]
+    assert cols["rate"][1] == 1.3
+
+
+def test_fastio_bulk_directory(tmp_path):
+    from mind_the_gaps_tpu.lightcurves import SimpleLightcurve
+    from mind_the_gaps_tpu.lightcurves.loaders import load_lightcurve_directory
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(6):
+        t = np.cumsum(rng.uniform(1, 3, 40))
+        body = "time rate error exposure\n" + "\n".join(
+            f"{ti} {ri} 0.1 0.5" for ti, ri in zip(t, rng.normal(5, 1, 40))
+        )
+        p = tmp_path / f"lc{i}.dat"
+        p.write_text(body)
+        paths.append(str(p))
+    lcs = load_lightcurve_directory(paths, workers=4)
+    assert len(lcs) == 6
+    one = SimpleLightcurve(paths[0])
+    np.testing.assert_allclose(lcs[0].times, one.times)
+    np.testing.assert_allclose(lcs[0].y, one.y)
+    np.testing.assert_allclose(lcs[0].exposures, one.exposures)
