@@ -134,6 +134,7 @@ def main():
 
     # --- bootstrap chunk wall-clock (BASELINE.md primary metric #2) --- #
     boot = _bootstrap_chunk_seconds(t, y, diag)
+    boot.update(_e13_generation_rate())
 
     record = {
         "metric": "GP loglike evals/sec (N=5k, DRW+QPO kernel, f32 path, f64-checked)",
@@ -202,6 +203,41 @@ def _bootstrap_chunk_seconds(t, y, diag, chunk_sims=512, walkers=16, n_steps=500
     out["bootstrap_10k_seconds"] = round(total * scale, 1)
     out["bootstrap_10k_seconds_v5e8_est"] = round(total * scale / 8.0, 1)
     return out
+
+
+def _e13_generation_rate(n_points=500, B=256):
+    """Lognormal (E13) posterior-predictive generation rate at the
+    tutorial-scale segment (~6.6k fine samples -> 8192 pow2 cut):
+    the non-Gaussian bootstrap's generation-side cost."""
+    from mind_the_gaps_tpu.kernels import DampedRandomWalk
+    from mind_the_gaps_tpu.simulator import Simulator
+
+    rng = np.random.default_rng(0)
+    t = np.cumsum(rng.uniform(4.0, 9.0, n_points))
+    kernel = DampedRandomWalk(log_S0=1.0, log_omega0=-3.0)
+    theta0 = kernel.get_parameter_vector()
+    sim = Simulator(
+        lambda w: np.asarray(kernel.get_psd(jnp.asarray(w), jnp.asarray(theta0))),
+        t, exposures=1.0, mean=10.0, pdf="lognormal", extension_factor=2, max_iter=400,
+    )
+    omega = jnp.asarray(sim.omega)
+    thetas = theta0[None, :] + 0.15 * rng.standard_normal((B, 2))
+
+    @jax.jit
+    def psd_batch(ths):
+        def one(th):
+            v = kernel.get_psd(omega[1:], th)
+            return jnp.concatenate([jnp.zeros((1,), v.dtype), v])
+        return jax.vmap(one)(ths)
+
+    psd_b = psd_batch(jnp.asarray(thetas))
+    out = sim.simulate_batch(jax.random.key(1), psd_b, chunk=128)
+    float(jnp.sum(out))  # compile + warmup
+    start = time.perf_counter()
+    out = sim.simulate_batch(jax.random.key(2), psd_b, chunk=128)
+    float(jnp.sum(out))
+    elapsed = time.perf_counter() - start
+    return {"e13_lognormal_lcs_per_sec": round(B / elapsed, 1)}
 
 
 if __name__ == "__main__":
