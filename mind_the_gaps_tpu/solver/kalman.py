@@ -145,6 +145,43 @@ def _filter_elements(Phi, Q, H, r, Rn, V):
     return A, b, C, eta, J
 
 
+def _small_inv(M):
+    """Batched inverse of small (p <= 6) matrices in closed form.
+
+    ``jnp.linalg.inv`` lowers to a batched LU that runs on the TPU's
+    scalar/vector units with poor occupancy; the celerite state dimension
+    is tiny (p = Jr + 2 Jc, typically 2-6), where the adjugate is exact
+    and maps to a handful of batched matmuls (MXU-friendly).  p = 1, 2
+    use the direct formulas; 3 <= p <= 6 uses the Faddeev-LeVerrier
+    recursion (adjugate and determinant in p matrix products — fine
+    numerically at these sizes, including float32); larger p falls back
+    to linalg.inv.
+    """
+    p = M.shape[-1]
+    if p == 1:
+        return 1.0 / M
+    if p == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 1, 0]
+        d = M[..., 1, 1]
+        det = a * d - b * c
+        row0 = jnp.stack([d, -b], axis=-1)
+        row1 = jnp.stack([-c, a], axis=-1)
+        return jnp.stack([row0, row1], axis=-2) / det[..., None, None]
+    if p > 6:
+        return jnp.linalg.inv(M)
+    I = jnp.broadcast_to(jnp.eye(p, dtype=M.dtype), M.shape)
+    # N_1 = I, c_1 = tr M;  N_k = M N_{k-1} - c_{k-1} I,
+    # c_k = tr(M N_k)/k;  then M^{-1} = N_p / c_p (det = +/- c_p).
+    Nk = I
+    ck = jnp.trace(M, axis1=-2, axis2=-1)
+    for k in range(2, p + 1):
+        Nk = M @ Nk - ck[..., None, None] * I
+        ck = jnp.einsum("...ij,...ji->...", M, Nk) / k
+    return Nk / ck[..., None, None]
+
+
 def _combine(elem_i, elem_j):
     """Associative composition (i earlier, j later), vectorized over the
     leading scan axis."""
@@ -153,7 +190,7 @@ def _combine(elem_i, elem_j):
     p = Ai.shape[-1]
     I = jnp.eye(p, dtype=Ai.dtype)
     M = I[None] + Ci @ Jj  # (..., p, p)
-    Minv = jnp.linalg.inv(M)
+    Minv = _small_inv(M)
     AjM = Aj @ Minv
     A = AjM @ Ai
     b = (AjM @ (bi + jnp.einsum("...ij,...j->...i", Ci, etaj))[..., None])[..., 0] + bj

@@ -73,3 +73,16 @@ def test_parallel_kalman_gradients():
     g_par = np.asarray(jax.jit(jax.grad(nll_par))(theta0))
     g_ref = np.asarray(jax.jit(jax.grad(nll_ref))(theta0))
     np.testing.assert_allclose(g_par, g_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_small_inv_closed_form():
+    """The Faddeev-LeVerrier / direct small inverses must match
+    np.linalg.inv for every state dimension the kernels produce."""
+    from mind_the_gaps_tpu.solver.kalman import _small_inv
+
+    rng = np.random.default_rng(8)
+    for p in [1, 2, 3, 4, 5, 6]:
+        M = rng.normal(size=(7, p, p))
+        M = M + 3.0 * p * np.eye(p)  # well-conditioned
+        inv = np.asarray(_small_inv(jnp.asarray(M)))
+        np.testing.assert_allclose(inv, np.linalg.inv(M), rtol=1e-9, atol=1e-11)
