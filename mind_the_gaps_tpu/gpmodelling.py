@@ -322,6 +322,64 @@ class GPModelling:
         ]
         return minimize(fun, np.asarray(initial_params, dtype=float), jac=True, method="L-BFGS-B", bounds=bounds)
 
+    def fit_device(self, initial_params=None, max_iters: int = 200, tol: float = 1e-10):
+        """MAP fit entirely on device: optax L-BFGS (zoom linesearch)
+        under one jitted ``while_loop``, iterates projected into the
+        parameter box.
+
+        The scipy ``fit()`` is the reference-parity path (true L-BFGS-B);
+        on a remote-TPU runtime it pays one host<->device roundtrip per
+        objective evaluation, while this variant runs the entire
+        optimization as a single device program.  Returns
+        (params (ndim,), nll value) as numpy/float.
+        """
+        import optax
+        import optax.tree_utils as otu
+
+        if initial_params is None:
+            initial_params = self.initial_params
+        bounds = np.array(
+            [(-np.inf if b[0] is None else b[0], np.inf if b[1] is None else b[1])
+             for b in ((float(x[0]), float(x[1])) for x in self.get_parameter_bounds())]
+        )
+        lo = jnp.asarray(bounds[:, 0])
+        hi = jnp.asarray(bounds[:, 1])
+        loglike = self._loglike_fn
+
+        def nll(theta):
+            v = -loglike(theta)
+            return jnp.where(jnp.isfinite(v), v, jnp.asarray(1e25, v.dtype))
+
+        opt = optax.lbfgs()
+        value_and_grad = optax.value_and_grad_from_state(nll)
+
+        def step(carry):
+            params, state, _ = carry
+            value, grad = value_and_grad(params, state=state)
+            updates, state = opt.update(
+                grad, state, params, value=value, grad=grad, value_fn=nll
+            )
+            new_params = jnp.clip(optax.apply_updates(params, updates), lo, hi)
+            delta = jnp.max(jnp.abs(new_params - params))
+            return new_params, state, delta
+
+        def cond(carry):
+            _, state, delta = carry
+            it = otu.tree_get(state, "count")
+            return (it < max_iters) & (delta > tol)
+
+        @jax.jit
+        def run(theta0):
+            state = opt.init(theta0)
+            params, state, _ = jax.lax.while_loop(
+                cond, step, (theta0, state, jnp.asarray(jnp.inf, theta0.dtype))
+            )
+            return params, nll(params)
+
+        theta0 = jnp.clip(jnp.asarray(initial_params, dtype=jnp.float64), lo, hi)
+        params, value = run(theta0)
+        return np.asarray(params), float(value)
+
     # ------------------------------------------------------------------ #
     def spread_walkers(self, walkers, parameters, bounds, percent=0.1, max_attempts=20):
         """Gaussian ball around ``parameters`` clipped into bounds;

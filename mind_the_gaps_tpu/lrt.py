@@ -64,7 +64,7 @@ class LRTResult:
     sim_dy: np.ndarray = field(repr=False, default=None)
 
 
-def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0, dtype=None, backend: str = "xla"):
+def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0, dtype=None, backend: str = "xla", mesh=None, axis_name: str = "batch"):
     """Build the jitted grouped-batch short-MCMC max-loglikelihood program
     for one kernel over fixed timestamps.
 
@@ -88,8 +88,7 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
     if 2 * half != walkers:
         raise ValueError("walkers must be even")
 
-    @jax.jit
-    def batched(key, ys, diags, theta0, percent):
+    def batched_core(key, ys, diags, theta0, percent):
         G = ys.shape[0]
         if backend == "pallas":
             from mind_the_gaps_tpu.ops import pallas_log_likelihood
@@ -173,7 +172,38 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
         )
         return best_lp, best_x
 
-    return batched
+    if mesh is None:
+        return jax.jit(batched_core)
+
+    # Explicit SPMD expression: shard_map over the simulation axis.  Each
+    # device runs batched_core on ITS shard of the (G, N) data with a
+    # per-shard RNG stream (fold_in of the mesh position), and no
+    # collectives at all — the multi-host-safe form of the bootstrap
+    # (each process feeds its local shard of a global array).  The body
+    # is collective-free, so the varying-manual-axes check is disabled:
+    # the solver initializes scan carries from (batch-constant) zeros,
+    # which the VMA tracker would otherwise reject as unvarying-in /
+    # varying-out.
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    def sharded(key, ys, diags, theta0, percent):
+        def local(key, ys_l, diags_l, theta0, percent):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            return batched_core(key, ys_l, diags_l, theta0, percent)
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
+            out_specs=(P(axis_name), P(axis_name)),
+            check_vma=False,
+        )(key, ys, diags, theta0, percent)
+
+    return jax.jit(sharded)
 
 
 def fit_lightcurves_batch(
@@ -190,9 +220,15 @@ def fit_lightcurves_batch(
     use_mesh: bool = True,
     dtype=None,
     backend: str = "auto",
+    spmd: str = "gspmd",
 ):
     """Max log-likelihood of ``kernel`` fit to each of B lightcurves
     sharing ``times``: short ensemble MCMC per lightcurve, batched.
+
+    ``spmd``: how the simulation axis parallelizes over the mesh —
+    "gspmd" (default) shards the inputs and lets XLA partition the jitted
+    program; "shard_map" uses the explicit per-device program (per-shard
+    RNG streams, multi-host-safe).
 
     Returns (best_loglikes (B,), best_params (B, D)).
     """
@@ -215,22 +251,25 @@ def fit_lightcurves_batch(
             and jnp.dtype(dtype) == jnp.float32
             and jax.default_backend() == "tpu"
         )
+    mesh = None
+    n_dev = len(jax.devices())
+    if use_mesh and n_dev > 1:
+        mesh = default_mesh()
+    sm_mesh = mesh if (spmd == "shard_map" and mesh is not None) else None
+
     runner = _make_batched_max_loglike(
         kernel, times, n_steps, walkers, dtype=dtype,
-        backend="pallas" if use_pallas else "xla",
+        backend="pallas" if use_pallas else "xla", mesh=sm_mesh,
     )
     runner_fallback = (
-        _make_batched_max_loglike(kernel, times, n_steps, walkers, dtype=dtype, backend="xla")
+        _make_batched_max_loglike(
+            kernel, times, n_steps, walkers, dtype=dtype, backend="xla", mesh=sm_mesh
+        )
         if use_pallas
         else None
     )
     # the Pallas kernel needs (G*half) % 128 == 0: pad the group axis
     g_align = 128 // _math.gcd(half, 128) if use_pallas else 1
-
-    mesh = None
-    n_dev = len(jax.devices())
-    if use_mesh and n_dev > 1:
-        mesh = default_mesh()
 
     best_lls, best_xs = [], []
     for start in range(0, B, chunk):

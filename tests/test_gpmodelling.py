@@ -262,3 +262,17 @@ def test_derive_posteriors_fast_linear_mean(drw_lightcurve):
                          convergence_steps=30, walkers=8, seed=3, fast=True)
     assert np.all(np.isfinite(gp.loglikelihoods))
     assert gp.mcmc_samples.shape[1] == gp.k
+
+
+def test_fit_device_matches_scipy(drw_lightcurve):
+    """The on-device projected L-BFGS must land on the same MAP point as
+    the host scipy L-BFGS-B (smooth interior optimum)."""
+    lc, (ls0, lw0) = drw_lightcurve
+    kernel = DampedRandomWalk(log_S0=0.0, log_omega0=-2.0, bounds=[(-5, 10), (-8, 2)])
+    gp = GPModelling(lc, kernel)
+    sol = gp.fit()
+    params_dev, nll_dev = gp.fit_device()
+    assert np.isfinite(nll_dev)
+    # same optimum at the likelihood level (parameter-space may be flat)
+    assert abs(nll_dev - sol.fun) < 1e-3, (nll_dev, sol.fun)
+    np.testing.assert_allclose(params_dev, sol.x, rtol=0.05, atol=0.05)
