@@ -15,6 +15,7 @@ from mind_the_gaps_tpu.simulator.noise import (
     GaussianNoise,
 )
 from mind_the_gaps_tpu.simulator.core import (
+    BaseSimulatorMethod,
     Simulator,
     TK95Simulator,
     E13Simulator,
@@ -25,6 +26,7 @@ from mind_the_gaps_tpu.simulator.core import (
 )
 
 __all__ = [
+    "BaseSimulatorMethod",
     "RegularLightcurve",
     "BaseNoise",
     "PoissonNoise",
