@@ -576,6 +576,46 @@ class GPModelling:
         std_res = (np.asarray(self._y) - np.asarray(pred_mean)) / np.sqrt(np.asarray(pred_var))
         return std_res
 
+    def loo_residuals(self, parameters=None):
+        """Exact leave-one-out standardized residuals: alpha_n /
+        sqrt((K^-1)_nn) with alpha = K^-1 (y - mean), via the O(N R^2)
+        selected inverse.
+
+        Under the correct model these are ~ N(0, 1) *exactly* — unlike
+        ``standarized_residuals`` (the reference's formula,
+        gpmodelling.py:353-370), which divides by the GP predictive
+        standard deviation: that residual's true variance is
+        s^2 (K^-1)_nn, not s - s^2 (K^-1)_nn, so its KS-vs-normal
+        diagnostic is miscalibrated (under-dispersed when noise <<
+        signal, over-dispersed when noise >> signal).  Model selection
+        (selection.compare_models) therefore tests THESE residuals."""
+        from mind_the_gaps_tpu.solver.semiseparable import (
+            build_matrices,
+            factor,
+            inverse_diag,
+            solve,
+        )
+
+        theta = (
+            np.asarray(parameters, dtype=float)
+            if parameters is not None
+            else self.get_parameter_vector()
+        )
+        th_k = jnp.asarray(theta[: self._nk])
+        th_m = (
+            jnp.asarray(theta[self._nk:])
+            if self.fit_mean
+            else jnp.asarray(self.mean_model.get_parameter_vector())
+        )
+        mean = self.mean_model.value(self._t, th_m)
+        coeffs = self.kernel.coefficients(th_k)
+        diag = self._diag_base + self.kernel.jitter(th_k)
+        m = build_matrices(coeffs, self._t, diag)
+        D, W, _ = factor(m)
+        alpha = solve(m, D, W, self._y - mean)
+        kinv = inverse_diag(m, D, W)
+        return np.asarray(alpha) / np.sqrt(np.asarray(kinv))
+
     def predict(self, t_pred=None, parameters=None, return_var: bool = True, include_noise: bool = False):
         """GP predictive mean (and variance) at ``t_pred`` (defaults to the
         training times) — the celerite ``gp.predict`` API used for

@@ -3,7 +3,15 @@
 The workflow of the reference's tutorial_model_selection.ipynb as one
 function: fit each candidate kernel with MCMC, then rank by corrected
 Akaike weights and check goodness of fit with a KS test on the
-standardized residuals (Kelly et al. 2011 diagnostics).
+residuals (Kelly et al. 2011 diagnostics).
+
+Deviation from the reference notebook: the KS test runs on the exact
+leave-one-out residuals (GPModelling.loo_residuals, alpha_n /
+sqrt(Kinv_nn), which are N(0,1) under the correct model) instead of the
+predictive-variance standardization, whose variance is s^2 Kinv_nn
+rather than the s - s^2 Kinv_nn it is divided by — i.e. the reference's
+KS p-values are miscalibrated whenever noise and signal amplitudes
+differ.  ``standarized_residuals`` itself keeps reference parity.
 """
 from __future__ import annotations
 
@@ -61,7 +69,7 @@ def compare_models(
         )
         ll = float(gp.max_loglikelihood)
         a = float(aicc(ll, lightcurve.n, gp.k))
-        res = gp.standarized_residuals(parameters=gp.max_parameters)
+        res = gp.loo_residuals(parameters=gp.max_parameters)
         ks = kstest(res, norm.cdf)
         fits.append((name, gp, ll, a, ks))
 
