@@ -840,7 +840,18 @@ class GPModelling:
 
             return jax.vmap(one)(thetas)
 
-        psd_values = psd_batch(jnp.asarray(param_samples))
-        rates = simulator.simulate_batch(k_sim, psd_values)
-        noisy, dy = simulator.add_noise_batch(k_noise, rates)
-        return np.asarray(noisy), np.asarray(dy)
+        # Chunk the whole generation: at 10k sims the PSD batch alone is
+        # ~1 GB f64 (nsims x n_fft/2 frequencies) and the unchunked
+        # batched FFT pipeline has been observed to crash the TPU worker.
+        gen_chunk = 512
+        k_sims = jax.random.split(k_sim, max(1, -(-nsims // gen_chunk)))
+        k_noises = jax.random.split(k_noise, len(k_sims))
+        noisy_out, dy_out = [], []
+        for ci, start in enumerate(range(0, nsims, gen_chunk)):
+            thetas_c = jnp.asarray(param_samples[start : start + gen_chunk])
+            psd_values = psd_batch(thetas_c)
+            rates = simulator.simulate_batch(k_sims[ci], psd_values)
+            noisy, dy = simulator.add_noise_batch(k_noises[ci], rates)
+            noisy_out.append(np.asarray(noisy))
+            dy_out.append(np.asarray(dy))
+        return np.concatenate(noisy_out), np.concatenate(dy_out)
