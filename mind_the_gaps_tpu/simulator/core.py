@@ -286,6 +286,18 @@ class Simulator:
         self.sim_timestamps = np.arange(
             start_time - self.sim_dt, start_time + duration + self.sim_dt, self.sim_dt
         )
+        # Extend the fine grid to the next 5-smooth length: XLA's TPU FFT
+        # handles small prime factors (Bluestein), but a length with a
+        # LARGE prime factor falls back to a dense DFT matmul — observed
+        # at n_fft = 99449 = 7 x 14207 as a 40 GB f32[n_fft, n_fft]
+        # allocation at compile time.  A slightly longer grid only
+        # increases the effective extension factor (the reference's own
+        # arange is approximate, simulator.py:217-238).
+        from scipy.fft import next_fast_len
+
+        n_good = next_fast_len(len(self.sim_timestamps), real=True)
+        if n_good > len(self.sim_timestamps):
+            self.sim_timestamps = self.sim_timestamps[0] + np.arange(n_good) * self.sim_dt
         self.fftndatapoints = len(self.sim_timestamps)
         self.pdf = pdf
         self.psd_model = psd_model
