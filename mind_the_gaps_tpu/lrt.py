@@ -249,7 +249,6 @@ def fit_lightcurves_batch(
     B = ys.shape[0]
     theta0 = jnp.asarray(theta0, dtype=jnp.float64)
 
-    import math as _math
 
     half = walkers // 2
     use_pallas = False
@@ -279,8 +278,11 @@ def fit_lightcurves_batch(
         if use_pallas
         else None
     )
-    # the Pallas kernel needs (G*half) % 128 == 0: pad the group axis
-    g_align = 128 // _math.gcd(half, 128) if use_pallas else 1
+    # Pad the group axis to a multiple of 128 on the Pallas path: the
+    # kernel needs (G*half) % 128 == 0, and G % 128 == 0 additionally
+    # guarantees the swept tile (max(1024, half*128)) divides every
+    # chunk, ragged remainders included.
+    g_align = 128 if use_pallas else 1
 
     best_lls, best_xs = [], []
     for start in range(0, B, chunk):

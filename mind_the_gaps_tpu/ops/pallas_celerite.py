@@ -278,6 +278,12 @@ def pallas_log_likelihood(
     while not _tile_ok(tile):
         tile //= 2
         if tile < _LANES:
+            # last resort: one tile spanning the whole batch (gt == G is
+            # always legal); covers ragged chunk remainders like
+            # G = 272, half = 8 -> B = 2176 with no 128-aligned divisor
+            if _tile_ok(B):
+                tile = B
+                break
             raise ValueError(
                 "no valid tile: need tile | B and, for grouped data, "
                 "repeats | tile with tile/repeats a multiple of 128 (or == G)"

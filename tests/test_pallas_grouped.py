@@ -101,3 +101,24 @@ def test_pallas_per_element_shared_diag():
     ref = np.asarray(batched_log_likelihood(co, t, ys, np.broadcast_to(diag, ys.shape)))
     pal = np.asarray(pallas_log_likelihood(co, t, ys, diag, interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-10)
+
+
+def test_pallas_ragged_group_tile():
+    """Group counts with no 128-aligned tile divisor (e.g. G=272, half=8,
+    B=2176 — a 10k/512-chunk bootstrap remainder) must fall back to one
+    whole-batch tile instead of raising."""
+    kernel = DampedRandomWalk(1.0, -3.0)
+    theta0 = kernel.get_parameter_vector()
+    rng = np.random.default_rng(5)
+    N, G, W = 64, 272, 8
+    B = G * W
+    t = np.cumsum(rng.uniform(2.0, 8.0, N))
+    ys = rng.normal(5.0, 2.0, (G, N)).astype(np.float32)
+    diags = np.full((G, N), 0.09, np.float32)
+    thetas = jnp.asarray(
+        theta0 + 0.05 * np.asarray(jax.random.normal(jax.random.key(6), (B, 2))), dtype=jnp.float32
+    )
+    co = jax.vmap(kernel.coefficients)(thetas)
+    ref = np.asarray(batched_log_likelihood(co, t, ys, diags, repeats=W))
+    pal = np.asarray(pallas_log_likelihood(co, t, ys, diags, repeats=W, interpret=True, tile=1024))
+    np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-2)
