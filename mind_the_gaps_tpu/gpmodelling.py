@@ -262,7 +262,41 @@ class GPModelling:
         self._logprob_batch = jax.jit(log_prob_batch)
         self._logprob_batch_fast = jax.jit(log_prob_batch_fast)
         self._fast_gate_checked = False
-        self._nll_and_grad = jax.jit(jax.value_and_grad(lambda th: -loglike(th)))
+
+        # The MAP fit is a host-driven scipy L-BFGS-B loop: on a remote
+        # TPU every objective evaluation pays a tunnel roundtrip plus the
+        # ~8x-emulated f64 scan (measured 81 s for a 30-evaluation fit at
+        # N=5k).  The objective is a single O(N) scan — host-CPU work —
+        # so when the default backend is not CPU, value_and_grad runs on
+        # the local CPU backend with CPU-resident copies of the data
+        # (exact f64; the sampler stays on the accelerator).
+        nll = lambda th: -loglike(th)
+        self._nll_and_grad = jax.jit(jax.value_and_grad(nll))
+        if jax.default_backend() != "cpu":
+            try:
+                cpu = jax.devices("cpu")[0]
+                t_c = jax.device_put(t, cpu)
+                y_c = jax.device_put(y, cpu)
+                d_c = jax.device_put(diag_base, cpu)
+
+                def loglike_cpu(theta):
+                    th_k, th_m = split(theta)
+                    mean = mean_model.value(t_c, th_m if fit_mean else mean_const)
+                    coeffs_l = kernel.coefficients(th_k)
+                    diag = d_c + kernel.jitter(th_k)
+                    return solver_log_likelihood(coeffs_l, t_c, y_c - mean, diag)
+
+                self._map_device = cpu
+                self._loglike_map_fn = loglike_cpu
+                self._nll_and_grad = jax.jit(
+                    jax.value_and_grad(lambda th: -loglike_cpu(th))
+                )
+            except RuntimeError:
+                self._map_device = None
+                self._loglike_map_fn = loglike
+        else:
+            self._map_device = None
+            self._loglike_map_fn = loglike
 
     # ------------------------------------------------------------------ #
     def get_parameter_bounds(self) -> List[Tuple[float, float]]:
@@ -309,7 +343,11 @@ class GPModelling:
             initial_params = self.initial_params
 
         def fun(x):
-            v, g = self._nll_and_grad(jnp.asarray(x))
+            if self._map_device is not None:
+                xj = jax.device_put(np.asarray(x, dtype=float), self._map_device)
+            else:
+                xj = jnp.asarray(x)
+            v, g = self._nll_and_grad(xj)
             v = float(v)
             g = np.asarray(g, dtype=float)
             if not np.isfinite(v):
@@ -342,9 +380,16 @@ class GPModelling:
             [(-np.inf if b[0] is None else b[0], np.inf if b[1] is None else b[1])
              for b in ((float(x[0]), float(x[1])) for x in self.get_parameter_bounds())]
         )
+        # run on the CPU backend when the default device is a remote
+        # accelerator: the while_loop itself is the latency win, and long
+        # f64 device programs have crashed the TPU worker here
+        dev = self._map_device
         lo = jnp.asarray(bounds[:, 0])
         hi = jnp.asarray(bounds[:, 1])
-        loglike = self._loglike_fn
+        if dev is not None:
+            lo = jax.device_put(lo, dev)
+            hi = jax.device_put(hi, dev)
+        loglike = self._loglike_map_fn
 
         def nll(theta):
             v = -loglike(theta)
@@ -376,7 +421,8 @@ class GPModelling:
             )
             return params, nll(params)
 
-        theta0 = jnp.clip(jnp.asarray(initial_params, dtype=jnp.float64), lo, hi)
+        theta0 = np.clip(np.asarray(initial_params, dtype=np.float64), bounds[:, 0], bounds[:, 1])
+        theta0 = jnp.asarray(theta0) if dev is None else jax.device_put(theta0, dev)
         params, value = run(theta0)
         return np.asarray(params), float(value)
 
