@@ -28,6 +28,28 @@ import jax
 if os.environ.get("MTG_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the production pipeline re-runs the same
+# few programs (observed-fit sampler, bootstrap runners) across
+# processes, and on a remote-compile TPU runtime each compile costs tens
+# of seconds (measured: a fresh-process derive_posteriors drops 42 s ->
+# 24 s with a warm cache).  Only set when the user hasn't configured a
+# cache; disable with MTG_TPU_NO_COMPILE_CACHE=1.
+if (
+    os.environ.get("MTG_TPU_NO_COMPILE_CACHE", "0") != "1"
+    and not os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    and not jax.config.jax_compilation_cache_dir
+):
+    _cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "mind_the_gaps_tpu", "jax",
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:
+        pass
+
 __version__ = "0.1.0"
 
 from mind_the_gaps_tpu.lightcurves import (  # noqa: E402

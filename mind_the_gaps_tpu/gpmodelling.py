@@ -43,6 +43,40 @@ from mind_the_gaps_tpu.solver import predict_at as solver_predict_at
 
 __all__ = ["GPModelling"]
 
+_PALLAS_BACKEND_OK: Optional[bool] = None
+
+
+def _pallas_backend_ok() -> bool:
+    """Can Mosaic compile the Pallas celerite kernel on this backend?
+
+    Probed ONCE per process with a minimal (N=16, B=128) f32 kernel and
+    memoized — backend capability does not depend on problem shapes.
+    On non-TPU backends the sampler uses interpret mode, which always
+    'compiles'."""
+    global _PALLAS_BACKEND_OK
+    if _PALLAS_BACKEND_OK is None:
+        if jax.default_backend() != "tpu":
+            _PALLAS_BACKEND_OK = True
+        else:
+            try:
+                from mind_the_gaps_tpu.kernels import RealTerm
+                from mind_the_gaps_tpu.ops import pallas_log_likelihood
+
+                term = RealTerm(0.0, -1.0)
+                th = jnp.zeros((128, 2), dtype=jnp.float32)
+                co = jax.vmap(term.coefficients)(th)
+                t16 = jnp.arange(16.0)
+                y16 = jnp.zeros((16,), dtype=jnp.float32)
+
+                def probe(c):
+                    return pallas_log_likelihood(c, t16, y16, y16 + 1.0)
+
+                jax.jit(probe).lower(co).compile()
+                _PALLAS_BACKEND_OK = True
+            except Exception:
+                _PALLAS_BACKEND_OK = False
+    return _PALLAS_BACKEND_OK
+
 
 class ChainResult:
     """Minimal sampler-result shim exposing the pieces of
@@ -511,16 +545,17 @@ class GPModelling:
             # Mosaic being unavailable / failing to lower is a
             # compile-time condition and only that may trigger the XLA
             # fallback; runtime errors from the compiled program must
-            # propagate (VERDICT r1 weak #5).
-            try:
-                self._logprob_batch_fast.lower(
-                    jnp.asarray(initial_chain_params)
-                ).compile()
+            # propagate (VERDICT r1 weak #5).  The probe is a tiny
+            # kernel compiled once per process (Mosaic availability is a
+            # backend property, not a shape property) — the previous
+            # per-instance AOT compile of the full program cost tens of
+            # seconds per GPModelling on the remote-compile tunnel.
+            if _pallas_backend_ok():
                 self._fast_gate_checked = True
-            except Exception as exc:
+            else:
                 warnings.warn(
-                    "Pallas sampler path failed to compile on this backend "
-                    f"({type(exc).__name__}: {exc}); using the XLA f64 sampler"
+                    "Pallas sampler path failed to compile on this backend; "
+                    "using the XLA f64 sampler"
                 )
                 fast = False
 
