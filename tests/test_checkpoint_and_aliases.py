@@ -79,3 +79,14 @@ def test_lrt_f32_bootstrap_close_to_f64():
     # chains differ (different rounding -> different accepts), but the
     # achieved maxima must agree at the chain-noise level
     np.testing.assert_allclose(lls32, lls64, atol=2.0)
+
+
+def test_compile_cache_config_defaults():
+    """The package sets a persistent compilation cache unless the user
+    configured one (MTG_TPU_NO_COMPILE_CACHE=1 disables)."""
+    import jax
+
+    import mind_the_gaps_tpu  # noqa: F401 - already imported by the suite
+
+    # either the package default or a user-provided dir must be active
+    assert jax.config.jax_compilation_cache_dir, "compilation cache should be configured"
