@@ -163,3 +163,90 @@ def test_fastio_bulk_directory(tmp_path):
     np.testing.assert_allclose(lcs[0].times, one.times)
     np.testing.assert_allclose(lcs[0].y, one.y)
     np.testing.assert_allclose(lcs[0].exposures, one.exposures)
+
+
+# ------------------------------------------------------------------ #
+# remaining legacy readingutils functions
+# ------------------------------------------------------------------ #
+def test_read_data_filters_and_units(tmp_path):
+    f = tmp_path / "PCCURVE.qdp"
+    _write_pccurve(f)
+    t, y, yerr, exp, bkg_counts, bkg_err = readingutils.read_data(str(f), tmin=50004, tmax=50010)
+    assert len(t) == 4  # MJD 50004..50010 step 2
+    np.testing.assert_allclose(np.diff(t), 2 * 86400.0)  # days -> seconds
+    np.testing.assert_allclose(exp, 1000.0 / 1.1)
+    np.testing.assert_allclose(yerr, 0.1)
+
+
+def test_read_data2_generic(tmp_path):
+    f = tmp_path / "generic.dat"
+    f.write_text(
+        "mjd\trate\terror\texposure\tbkgrate\tbkgerr\n"
+        "100.0\t1.0\t0.1\t500.0\t0.01\t0.001\n"
+        "101.0\t1.2\t0.1\t500.0\t0.01\t0.001\n"
+        "102.0\t1.4\t0.1\t500.0\t0.01\t0.001\n"
+    )
+    t, y, yerr, exp, bkg_counts, bkg_err = readingutils.read_data2(str(f), tmin=100.5)
+    assert len(t) == 2
+    np.testing.assert_allclose(t, np.array([101.0, 102.0]) * 86400.0)
+    np.testing.assert_allclose(bkg_counts, 0.01 * 500.0)
+
+
+def test_read_zero_point(tmp_path):
+    f = tmp_path / "t0.date"
+    f.write_text("some header\nanother line\n55234.5\n")
+    assert readingutils.read_zero_point(str(f)) == 55234.5
+
+
+def test_readPCUL_single_row(tmp_path):
+    f = tmp_path / "PCUL.qdp"
+    header = (
+        "READ TERR 1 2\n!MJD\n"
+        "MJD\tT_+ve\tT_-ve\tRate\tRatepos\tRateneg\tSNR\tBGrate\tBGerr\t"
+        "CorrFact\tCtsInSrc\tBGInSrc\tExposure\tSigma\tSNR2\tObsID\n"
+    )
+    f.write_text(header + "50000\t0.5\t-0.5\t0.05\t0.0\t0.0\t1.0\t0.01\t0.001\t1.1\t3\t1.0\t800.0\t1.0\t1.0\t0001")
+    data = readingutils.readPCUL(str(f))
+    assert len(data) == 1  # the single-row squeeze is re-expanded
+    assert data["Exposure"][0] == 800.0
+    assert len(readingutils.readPCUL(str(f), minExposure=900)) == 0
+
+
+def test_readPCHR(tmp_path):
+    f = tmp_path / "PCHR.qdp"
+    header = (
+        "READ TERR 1 2\n!MJD\n"
+        "MJD\tT_+ve\tT_-ve\tHR\tHRerr\tHRneg\tSoftSig\tHardSig\tSoftRate\t"
+        "HardRate\tSoftErr\tHardErr\tExposure\tObsID\n"
+    )
+    rows = [
+        "50000\t0.5\t-0.5\t0.8\t0.1\t-0.1\t5.0\t5.0\t1.0\t0.8\t0.1\t0.1\t1000.0\t0001",
+        # HRerr > HR: rejected when reject_errors
+        "50002\t0.5\t-0.5\t0.2\t0.5\t-0.5\t5.0\t5.0\t1.0\t0.2\t0.1\t0.1\t1000.0\t0002",
+        # negative HR: always rejected
+        "50004\t0.5\t-0.5\t-0.1\t0.1\t-0.1\t5.0\t5.0\t1.0\t0.1\t0.1\t0.1\t1000.0\t0003",
+    ]
+    f.write_text(header + "\n".join(rows))
+    assert len(readingutils.readPCHR(str(f))) == 1
+    assert len(readingutils.readPCHR(str(f), reject_errors=False)) == 2
+
+
+def test_readPC_catalog(tmp_path):
+    f = tmp_path / "PC_catalog.qdp"
+    header = "READ TERR 1 2\n!catalog\n"
+    rows = [
+        "1000.0\t500.0\t-500.0\t1.0\t0.1\t-0.1",
+        "3000.0\t500.0\t-500.0\t1.2\t0.1\t-0.1",
+        "5000.0\t100.0\t-100.0\t1.4\t0.1\t-0.1",
+    ]
+    f.write_text(header + "\n".join(rows))
+    data = readingutils.readPC_catalog(str(f), minExposure=300)
+    assert len(data) == 2  # the 200 s exposure row filtered out
+
+
+def test_read_best_fit(tmp_path):
+    f = tmp_path / "best_fit.dat"
+    f.write_text("parameter\tvalue\n1.0\t2.5\n2.0\t3.5\n")
+    data = readingutils.read_best_fit(str(f))
+    assert len(data) == 2
+    assert data["value"][1] == 3.5
