@@ -96,3 +96,34 @@ def test_gaussian_mean_model_constant_param():
     np.testing.assert_allclose(
         np.asarray(g4k.value(t, g4k.get_parameter_vector())), v4, rtol=1e-12
     )
+
+
+def test_sine_mean_models_values():
+    """SineModel / TwoSineModel / 4-param GaussianModel / LensingProfile
+    evaluate per the reference formulas (mean_models.py:6-38)."""
+    import numpy as np
+    from mind_the_gaps_tpu.models.mean_models import (
+        GaussianModel,
+        LensingProfile,
+        SineModel,
+        TwoSineModel,
+    )
+
+    t = np.linspace(0, 10, 50)
+    s = SineModel(2.0, 0.5, 1.2, 0.3)
+    np.testing.assert_allclose(
+        np.asarray(s.value(t, s.get_parameter_vector())),
+        2.0 + 0.5 * np.sin(1.2 * t + 0.3), rtol=1e-12,
+    )
+    ts = TwoSineModel(1.0, 0.4, 0.1, 0.2, 0.5, 0.8)
+    np.testing.assert_allclose(
+        np.asarray(ts.value(t, ts.get_parameter_vector())),
+        1.0 + 0.4 * np.sin(0.8 * t + 0.1) + 0.2 * np.sin(1.6 * t + 0.5), rtol=1e-12,
+    )
+    g = GaussianModel(5.0, 1.5, 2.0, 0.7)  # 4-param form with constant
+    expected = 2.0 / (2 * np.pi * 1.5) * np.exp(-((t - 5.0) ** 2) / (2 * 1.5**2)) + 0.7
+    np.testing.assert_allclose(
+        np.asarray(g.value(t, g.get_parameter_vector())), expected, rtol=1e-12
+    )
+    lp = LensingProfile(1.0, 2.0)
+    assert np.all(np.isnan(np.asarray(lp.value(t, lp.get_parameter_vector()))))
