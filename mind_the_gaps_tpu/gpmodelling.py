@@ -49,10 +49,12 @@ _PALLAS_BACKEND_OK: Optional[bool] = None
 def _pallas_backend_ok() -> bool:
     """Can Mosaic compile the Pallas celerite kernel on this backend?
 
-    Probed ONCE per process with a minimal (N=16, B=128) f32 kernel and
+    Probed ONCE per process with minimal (N=16, B=128) f32 kernels and
     memoized — backend capability does not depend on problem shapes.
-    On non-TPU backends the sampler uses interpret mode, which always
-    'compiles'."""
+    BOTH kernel layouts are probed (the shared 1-D-y branch and the
+    per-element (B, N) grouped-data branch the fitted-mean sampler
+    uses), since they lower through different kernel bodies.  On non-TPU
+    backends the sampler uses interpret mode, which always 'compiles'."""
     global _PALLAS_BACKEND_OK
     if _PALLAS_BACKEND_OK is None:
         if jax.default_backend() != "tpu":
@@ -67,11 +69,16 @@ def _pallas_backend_ok() -> bool:
                 co = jax.vmap(term.coefficients)(th)
                 t16 = jnp.arange(16.0)
                 y16 = jnp.zeros((16,), dtype=jnp.float32)
+                y2d = jnp.zeros((128, 16), dtype=jnp.float32)
 
-                def probe(c):
+                def probe_shared(c):
                     return pallas_log_likelihood(c, t16, y16, y16 + 1.0)
 
-                jax.jit(probe).lower(co).compile()
+                def probe_grouped(c):
+                    return pallas_log_likelihood(c, t16, y2d, y16 + 1.0)
+
+                jax.jit(probe_shared).lower(co).compile()
+                jax.jit(probe_grouped).lower(co).compile()
                 _PALLAS_BACKEND_OK = True
             except Exception:
                 _PALLAS_BACKEND_OK = False
@@ -104,7 +111,23 @@ class ChainResult:
         return lp
 
     def get_autocorr_time(self, tol: int = 0):
-        return np.asarray(integrated_autocorr_time(jnp.asarray(self._chain)))
+        """Integrated autocorrelation time per parameter.
+
+        ``tol``: like emcee, when > 0 require the chain to be at least
+        ``tol`` autocorrelation times long and raise otherwise (emcee
+        raises AutocorrError; the reference always calls with tol=0,
+        gpmodelling.py:256)."""
+        tau = np.asarray(integrated_autocorr_time(jnp.asarray(self._chain)))
+        if tol > 0:
+            n = self._chain.shape[0]
+            if np.any(tol * tau > n):
+                raise RuntimeError(
+                    "The chain is shorter than %d times the integrated "
+                    "autocorrelation time for %d parameter(s). Use this estimate "
+                    "with caution and run a longer chain!\n"
+                    "N/%d = %.0f;\ntau: %s" % (tol, int(np.sum(tol * tau > n)), tol, n / tol, tau)
+                )
+        return tau
 
 
 class GPModelling:

@@ -120,18 +120,36 @@ def _parse_numpy(data: bytes):
     return arr, nskipped
 
 
-def parse_bytes(data: bytes) -> np.ndarray:
-    """Parse an in-memory table; (N, C) float64."""
+def parse_bytes(data: bytes, warn_skipped: bool = False) -> np.ndarray:
+    """Parse an in-memory table; (N, C) float64 (always writable).
+
+    ``warn_skipped``: emit a warning when malformed/ragged rows were
+    dropped (the C parser collapses consecutive delimiters, so e.g. an
+    empty CSV field makes the row ragged and silently skipped otherwise).
+    """
     mod = _get_native()
     if mod is not None:
-        buf, nrows, ncols, _ = mod.parse_table(data)
-        return np.frombuffer(buf, dtype=np.float64).reshape(nrows, ncols if nrows else 0)
-    return _parse_numpy(data)[0]
+        buf, nrows, ncols, nskipped = mod.parse_table(data)
+        # copy: frombuffer over the returned bytes is read-only, and the
+        # numpy fallback returns writable arrays — keep the tiers equal
+        arr = (
+            np.frombuffer(buf, dtype=np.float64)
+            .reshape(nrows, ncols if nrows else 0)
+            .copy()
+        )
+    else:
+        arr, nskipped = _parse_numpy(data)
+    if warn_skipped and nskipped:
+        warnings.warn(
+            f"table parse skipped {nskipped} malformed row(s) "
+            "(ragged column count — empty delimited fields collapse)"
+        )
+    return arr
 
 
-def load_table(path: str) -> np.ndarray:
+def load_table(path: str, warn_skipped: bool = True) -> np.ndarray:
     with open(path, "rb") as fh:
-        return parse_bytes(fh.read())
+        return parse_bytes(fh.read(), warn_skipped=warn_skipped)
 
 
 def _header_names(path: str) -> Optional[List[str]]:

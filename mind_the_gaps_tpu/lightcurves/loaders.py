@@ -55,7 +55,10 @@ class SimpleLightcurve(GappyLightcurve):
 
     def __init__(self, input_file, skip_header: int = 0, delimiter=None):
         names = columns = None
-        if skip_header == 0:
+        # the native parser collapses consecutive delimiters (an empty
+        # CSV field would silently drop the row where genfromtxt yields
+        # NaN), so an explicit delimiter always takes the numpy path
+        if skip_header == 0 and delimiter is None:
             try:
                 from mind_the_gaps_tpu.io import load_columns
 

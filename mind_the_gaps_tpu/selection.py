@@ -5,13 +5,15 @@ function: fit each candidate kernel with MCMC, then rank by corrected
 Akaike weights and check goodness of fit with a KS test on the
 residuals (Kelly et al. 2011 diagnostics).
 
-Deviation from the reference notebook: the KS test runs on the exact
-leave-one-out residuals (GPModelling.loo_residuals, alpha_n /
-sqrt(Kinv_nn), which are N(0,1) under the correct model) instead of the
-predictive-variance standardization, whose variance is s^2 Kinv_nn
-rather than the s - s^2 Kinv_nn it is divided by — i.e. the reference's
-KS p-values are miscalibrated whenever noise and signal amplitudes
-differ.  ``standarized_residuals`` itself keeps reference parity.
+Deviation from the reference notebook (opt-out via ``residuals``): the
+KS test defaults to the exact leave-one-out residuals
+(GPModelling.loo_residuals, alpha_n / sqrt(Kinv_nn), which are N(0,1)
+under the correct model) instead of the predictive-variance
+standardization, whose variance is s^2 Kinv_nn rather than the
+s - s^2 Kinv_nn it is divided by — i.e. the reference's KS p-values are
+miscalibrated whenever noise and signal amplitudes differ.  Pass
+``residuals="standardized"`` to reproduce the reference notebook's
+behavior exactly (gpmodelling.py:353-370 residuals into the KS test).
 """
 from __future__ import annotations
 
@@ -50,13 +52,21 @@ def compare_models(
     converge: bool = True,
     progress: bool = False,
     seed: Optional[int] = None,
+    residuals: str = "loo",
 ) -> List[ModelComparison]:
     """Fit every kernel and rank by AICc (smallest first).
 
     Returns a list of ModelComparison with Akaike weights normalized over
-    the candidate set and the KS p-value of the standardized residuals at
-    the maximum-likelihood parameters.
+    the candidate set and the KS p-value of the residuals at the
+    maximum-likelihood parameters.
+
+    ``residuals``: "loo" (default; exact leave-one-out residuals, exactly
+    N(0,1) under the correct model) or "standardized" (the reference
+    notebook's predictive-std standardization, gpmodelling.py:353-370 —
+    use this for reference-parity p-values).
     """
+    if residuals not in ("loo", "standardized"):
+        raise ValueError("residuals must be 'loo' or 'standardized'")
     fits = []
     for i, (name, kernel) in enumerate(kernels.items()):
         gp = GPModelling(lightcurve, kernel, mean_model=mean_model)
@@ -69,7 +79,10 @@ def compare_models(
         )
         ll = float(gp.max_loglikelihood)
         a = float(aicc(ll, lightcurve.n, gp.k))
-        res = gp.loo_residuals(parameters=gp.max_parameters)
+        if residuals == "loo":
+            res = gp.loo_residuals(parameters=gp.max_parameters)
+        else:
+            res = gp.standarized_residuals(parameters=gp.max_parameters)
         ks = kstest(res, norm.cdf)
         fits.append((name, gp, ll, a, ks))
 

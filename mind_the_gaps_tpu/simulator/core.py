@@ -409,16 +409,6 @@ class Simulator:
                 segment, _ = e13_adjust(k_pdf, segment, pdf, mean, max_iter)
             return downsample_cumsum(segment, starts, ends)
 
-        def phase1(k1):
-            """Bounded E13 run: (resampled rates, converged flag)."""
-            def fn(key, psd_values):
-                k_pdf, segment = cut_segment(key, psd_values)
-                adjusted, iters = e13_adjust(k_pdf, segment, pdf, mean, k1)
-                return downsample_cumsum(adjusted, starts, ends), iters < k1
-            return fn
-
-        self._make_phase1 = phase1
-        self._jitted_phases = {}
         return jax.jit(pipeline)
 
     def _psd_values(self):
@@ -465,7 +455,7 @@ class Simulator:
     # ------------------------------------------------------------------ #
     # batched path (used by GPModelling.generate_from_posteriors)
     # ------------------------------------------------------------------ #
-    def simulate_batch(self, key, psd_values_batch, chunk: int = 128, phase1_iters: int = None):
+    def simulate_batch(self, key, psd_values_batch, chunk: int = 128):
         """Generate B lightcurves from B PSD evaluations in one jitted,
         vmapped program: (B, n_freq) -> (B, n_times) noiseless rates.
 
@@ -475,59 +465,26 @@ class Simulator:
         power of two so the loop's FFTs are radix-2 instead of Bluestein
         (measured 227 vs 72 lcs/s at the tutorial's m=6586 on a v5e chip).
 
-        ``phase1_iters``: optional straggler compaction — run every chunk
-        for at most this many iterations, then rerun only the
-        non-converged minority (deterministic from their keys, so the
-        result is bit-identical) in compacted chunks with the full
-        ``max_iter`` budget.  Worth it only when the per-lightcurve
-        iteration spread is heavy-tailed; the default single-phase path
-        is faster when (as measured) most lightcurves converge within
-        ~2x the median, because each phase-1 chunk forces a host sync.
+        A two-phase "straggler compaction" variant (bounded first pass,
+        compacted rerun of non-converged lightcurves) was built and
+        measured in round 2: it LOSES to this single-phase path on this
+        runtime because every phase-1 chunk forces a host sync and the
+        E13 iteration spread is not heavy-tailed (most lightcurves
+        converge within ~2x the median).  Removed in round 3.
         """
         B = psd_values_batch.shape[0]
         keys = jax.random.split(key, B)
         gaussian = self.pdf.lower() == "gaussian"
         if gaussian:
             return jax.vmap(self._pipeline)(keys, psd_values_batch)
-        k1 = None if phase1_iters is None else min(phase1_iters, self.max_iter)
-        if k1 is None or k1 >= self.max_iter:
-            outs = []
-            for start in range(0, B, chunk):
-                outs.append(
-                    jax.vmap(self._pipeline)(
-                        keys[start : start + chunk], psd_values_batch[start : start + chunk]
-                    )
-                )
-            return jnp.concatenate(outs, axis=0)
-
-        if ("p1", k1) not in self._jitted_phases:
-            self._jitted_phases[("p1", k1)] = jax.jit(jax.vmap(self._make_phase1(k1)))
-        p1 = self._jitted_phases[("p1", k1)]
-
-        outs, convs = [], []
+        outs = []
         for start in range(0, B, chunk):
-            out, conv = p1(keys[start : start + chunk], psd_values_batch[start : start + chunk])
-            outs.append(out)
-            convs.append(conv)
-        result = jnp.concatenate(outs, axis=0)
-        conv = np.concatenate([np.asarray(c) for c in convs])
-
-        sidx = np.where(~conv)[0]
-        if len(sidx):
-            # rerun the stragglers from their keys with the full budget —
-            # the E13 iterate is a pure function of the key, so this
-            # reproduces the single-phase result exactly while the
-            # converged majority stopped at k1 iterations.
-            skeys = keys[jnp.asarray(sidx)]
-            spsd = psd_values_batch[jnp.asarray(sidx)]
-            ns = len(sidx)
-            fixed = []
-            for start in range(0, ns, chunk):
-                kk = skeys[start : start + chunk]
-                pp = spsd[start : start + chunk]
-                fixed.append(jax.vmap(self._pipeline)(kk, pp))
-            result = result.at[jnp.asarray(sidx)].set(jnp.concatenate(fixed, axis=0))
-        return result
+            outs.append(
+                jax.vmap(self._pipeline)(
+                    keys[start : start + chunk], psd_values_batch[start : start + chunk]
+                )
+            )
+        return jnp.concatenate(outs, axis=0)
 
     def add_noise_batch(self, key, rates_batch):
         keys = jax.random.split(key, rates_batch.shape[0])

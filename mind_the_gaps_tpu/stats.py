@@ -157,6 +157,14 @@ def fit_N(loglikehood, log_like_args=()):
 
 
 def chi_square_N(powers_data, model_power=None, std_power=None):
+    """Chi-square at the best-fit normalization.
+
+    WARNING: reproduces the reference's broken call signature verbatim
+    (reference stats.py:108-113): ``chi_square`` takes
+    (powers_data, model_powers, sigmas), so passing the fitted
+    normalization N as the first positional argument — as both the
+    reference and this parity port do — mismatches the argument order.
+    Kept bug-for-bug for parity; do not use in new code."""
     N = fit_N(chi_square, (powers_data, model_power, std_power))
     return chi_square(N, powers_data, model_power, std_power)
 

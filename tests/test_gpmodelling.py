@@ -276,3 +276,19 @@ def test_fit_device_matches_scipy(drw_lightcurve):
     # same optimum at the likelihood level (parameter-space may be flat)
     assert abs(nll_dev - sol.fun) < 1e-3, (nll_dev, sol.fun)
     np.testing.assert_allclose(params_dev, sol.x, rtol=0.05, atol=0.05)
+
+
+def test_chainresult_autocorr_tol_honored():
+    """get_autocorr_time(tol>0) raises when the chain is shorter than
+    tol autocorrelation times (emcee semantics; tol=0 never raises)."""
+    import pytest as _pytest
+
+    from mind_the_gaps_tpu.gpmodelling import ChainResult
+
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(60, 8, 2))  # white noise: tau ~ 1
+    cr = ChainResult(chain, rng.normal(size=(60, 8)))
+    tau = cr.get_autocorr_time()  # tol=0: fine on a short chain
+    assert tau.shape == (2,)
+    with _pytest.raises(RuntimeError, match="autocorrelation time"):
+        cr.get_autocorr_time(tol=1000)

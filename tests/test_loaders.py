@@ -250,3 +250,42 @@ def test_read_best_fit(tmp_path):
     data = readingutils.read_best_fit(str(f))
     assert len(data) == 2
     assert data["value"][1] == 3.5
+
+
+def test_fastio_arrays_writable(tmp_path):
+    """Both parser tiers must return writable arrays (round-3 ADVICE):
+    np.frombuffer over the C extension's bytes would be read-only."""
+    from mind_the_gaps_tpu.io import load_table
+
+    f = tmp_path / "w.dat"
+    f.write_text("1.0 2.0\n3.0 4.0\n")
+    arr = load_table(str(f))
+    assert arr.flags.writeable
+    arr[0, 0] = 9.0
+    assert arr[0, 0] == 9.0
+
+
+def test_fastio_warns_on_skipped_rows(tmp_path):
+    """Ragged rows (e.g. an empty CSV field collapsed by the parser) are
+    dropped with a warning instead of silently."""
+    import pytest as _pytest
+
+    from mind_the_gaps_tpu.io import load_table
+
+    f = tmp_path / "ragged.csv"
+    f.write_text("1,2,3\n4,,6\n7,8,9\n")
+    with _pytest.warns(UserWarning, match="skipped"):
+        arr = load_table(str(f))
+    assert arr.shape == (2, 3)
+
+
+def test_simple_lightcurve_explicit_delimiter(tmp_path):
+    """An explicit delimiter must take the genfromtxt path: empty
+    delimited fields become NaN instead of silently dropping the row."""
+    f = tmp_path / "lc.csv"
+    f.write_text(
+        "t,rate,error\n" + "\n".join(f"{10.0*i:.1f},{1.0+0.1*i:.3f},0.05" for i in range(10))
+    )
+    lc = SimpleLightcurve(str(f), delimiter=",")
+    assert lc.n == 10
+    np.testing.assert_allclose(lc.times, 10.0 * np.arange(10))

@@ -63,3 +63,18 @@ def test_loo_residuals_calibrated(drw_lc):
     Kinv = np.linalg.inv(K)
     ref = (Kinv @ (y - drw_lc.mean)) / np.sqrt(np.diag(Kinv))
     np.testing.assert_allclose(res, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_compare_models_residuals_kwarg(drw_lc):
+    """residuals='standardized' reproduces the reference notebook's KS
+    input (predictive-std residuals); invalid values raise."""
+    import pytest as _pytest
+
+    kernels = {"drw": DampedRandomWalk(log_S0=1.0, log_omega0=-3.0, bounds=[(-5, 10), (-8, 2)])}
+    with _pytest.raises(ValueError, match="residuals"):
+        compare_models(drw_lc, kernels, residuals="nope")
+    res = compare_models(
+        drw_lc, kernels, max_steps=200, walkers=8, converge=False, seed=7,
+        residuals="standardized",
+    )
+    assert np.isfinite(res[0].ks_pvalue)

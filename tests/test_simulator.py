@@ -366,21 +366,6 @@ def test_generate_batch_with_kraft_noise():
     assert np.all(dy > 0)
 
 
-def test_simulate_batch_two_phase_identical():
-    """The opt-in straggler-compaction path (phase1_iters) must reproduce
-    the single-phase batched E13 output exactly: stragglers are rerun
-    from their keys, and the E13 iterate is a pure function of the key."""
-    import jax
-
-    rng = np.random.default_rng(11)
-    n = 60
-    t = np.cumsum(rng.uniform(1.0, 3.0, n))
-    psd_model = lambda w: 1.0 / (1.0 + (np.asarray(w) / 0.05) ** 2)
-    sim = Simulator(psd_model, t, exposures=0.5, mean=8.0, pdf="lognormal",
-                    extension_factor=2, max_iter=300)
-    B = 12
-    psd_vals = np.asarray(sim._psd_values())
-    psd_b = jnp.asarray(np.broadcast_to(psd_vals, (B, len(psd_vals))).copy())
-    ref = np.asarray(sim.simulate_batch(jax.random.key(3), psd_b, chunk=4))
-    two = np.asarray(sim.simulate_batch(jax.random.key(3), psd_b, chunk=4, phase1_iters=5))
-    np.testing.assert_array_equal(ref, two)
+# (the two-phase phase1_iters straggler-compaction path and its
+# bit-identity test were removed in round 3: measured slower than the
+# single-phase path on this runtime — see Simulator.simulate_batch)
