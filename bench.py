@@ -23,12 +23,15 @@ sharded path is exercised by __graft_entry__.dryrun_multichip).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
-baseline is an explicit estimate of the celerite+emcee CPU pipeline the
-reference drives: celerite's published O(N) solver timing is ~1.5 ms
-per log-likelihood at N ~ 5k, J ~ 2-4 (Foreman-Mackey+2017 scaling
-figure), i.e. ~670 evals/s/core, times the reference's typical 12 cores
--> ~8,000 evals/s.  vs_baseline = measured / 8,000 (single chip; the
->= 100x BASELINE.md target refers to a v5e-8).
+denominator is MEASURED by benchmarks/cpu_baseline.py (round 3): the
+compiled celerite-equivalent XLA-CPU f64 scan at N=5k, DRW+QPO, times
+one core on this image's host measures 88.1 evals/s (11.36 ms/eval; a
+pure-numpy loop is 259 ms/eval), floored at celerite's published
+~670 evals/s/core (~1.5 ms at N~5k, J~2-4, Foreman-Mackey+2017 scaling
+figure — generous to the baseline since this host's core is slower),
+x the reference's typical 12 cores -> 8,040 evals/s.
+vs_baseline = measured / 8,040 (single chip; the >= 100x BASELINE.md
+target refers to a v5e-8).
 """
 from __future__ import annotations
 
@@ -41,7 +44,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-CPU_PIPELINE_BASELINE_EVALS_PER_SEC = 8_000.0
+# measured 2026-08-17 by benchmarks/cpu_baseline.py (see its JSON line):
+# max(88.1 measured, 670 published) evals/s/core x 12 cores
+CPU_PIPELINE_BASELINE_EVALS_PER_SEC = 8_040.0
 
 
 def main():
@@ -142,6 +147,7 @@ def main():
     # --- bootstrap chunk wall-clock (BASELINE.md primary metric #2) --- #
     boot = _bootstrap_chunk_seconds(t, y, diag)
     boot.update(_e13_generation_rate())
+    boot.update(_derive_posteriors_seconds(t, y, diag))
 
     record = {
         "metric": "GP loglike evals/sec (N=5k, DRW+QPO kernel, f32 path, f64-checked)",
@@ -210,6 +216,34 @@ def _bootstrap_chunk_seconds(t, y, diag, chunk_sims=512, walkers=16, n_steps=500
     out["bootstrap_10k_seconds"] = round(total * scale, 1)
     out["bootstrap_10k_seconds_v5e8_est"] = round(total * scale / 8.0, 1)
     return out
+
+
+def _derive_posteriors_seconds(t, y, diag, steps=4000, walkers=32):
+    """Wall-clock of the production observed-fit sampler:
+    derive_posteriors equivalent at N=5k, 32 walkers, 4000 steps
+    (round-3 target < 15 s; round 2 measured ~47 s of which only ~9 s
+    was device time — the convergence loop now runs on device with one
+    end-of-run chain fetch)."""
+    from mind_the_gaps_tpu import GappyLightcurve, GPModelling
+    from mind_the_gaps_tpu.kernels import DampedRandomWalk, Lorentzian
+
+    lc = GappyLightcurve(np.asarray(t), np.asarray(y) + 10.0, np.sqrt(np.asarray(diag)))
+    kernel = DampedRandomWalk(log_S0=1.0, log_omega0=-3.0, bounds=[(-5, 10), (-8, 2)]) + Lorentzian(
+        log_S0=-1.0, log_Q=2.0, log_omega0=-2.0, bounds=[(-8, 5), (0, 6), (-5, 0)]
+    )
+    gp = GPModelling(lc, kernel)
+    theta0 = np.asarray(gp.initial_params)
+    init = gp.spread_walkers(walkers, theta0, np.array(gp.get_parameter_bounds(), dtype=object))
+    # warmup run compiles the segment program (+ session warmup)
+    gp.derive_posteriors(initial_chain_params=init, max_steps=1000, converge=False, seed=11)
+    start = time.perf_counter()
+    gp.derive_posteriors(initial_chain_params=init, max_steps=steps, converge=False, seed=12)
+    elapsed = time.perf_counter() - start
+    return {
+        "derive_posteriors_4k_seconds": round(elapsed, 2),
+        "derive_posteriors_steps": steps,
+        "derive_posteriors_walkers": walkers,
+    }
 
 
 def _e13_generation_rate(n_points=500, B=256):

@@ -17,6 +17,7 @@ parameters when the mean is fitted.
 from __future__ import annotations
 
 import warnings
+from functools import partial
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -32,11 +33,11 @@ from mind_the_gaps_tpu.models.mean_models import (
     LinearModel,
     MeanModel,
 )
-from mind_the_gaps_tpu.sampler import sample_ensemble
 from mind_the_gaps_tpu.sampler.autocorr import (
     integrated_autocorr_time,
-    integrated_autocorr_time_np,
+    integrated_autocorr_time_masked,
 )
+from mind_the_gaps_tpu.sampler.ensemble import sample_ensemble_impl
 from mind_the_gaps_tpu.solver import log_likelihood as solver_log_likelihood
 from mind_the_gaps_tpu.solver import predict as solver_predict
 from mind_the_gaps_tpu.solver import predict_at as solver_predict_at
@@ -44,6 +45,32 @@ from mind_the_gaps_tpu.solver import predict_at as solver_predict_at
 __all__ = ["GPModelling"]
 
 _PALLAS_BACKEND_OK: Optional[bool] = None
+
+
+@partial(
+    jax.jit, static_argnames=("log_prob_fn", "n_steps")
+)
+def _advance_segment(key, state, chain_buf, lp_buf, offset, *, log_prob_fn, n_steps):
+    """One convergence-loop segment as a single device program: split the
+    key, run ``n_steps`` stretch-move steps, write the segment into the
+    preallocated chain/log-prob buffers, and compute the integrated
+    autocorrelation time over the filled prefix.
+
+    The round-2 loop fetched every 500-step segment to the host and
+    re-ran the host FFT tau estimator over the whole growing chain each
+    time (plus paid an eager ~200 ms key-split per segment on the remote
+    runtime); here the per-segment host traffic is one (D+1,)-scalar
+    fetch and the chain is fetched ONCE at the end of the run.
+    """
+    key, sub = jax.random.split(key)
+    chain, lps, acc, state = sample_ensemble_impl(sub, log_prob_fn, state, n_steps)
+    zero = jnp.zeros((), dtype=offset.dtype)
+    chain_buf = jax.lax.dynamic_update_slice(
+        chain_buf, chain.astype(chain_buf.dtype), (offset, zero, zero)
+    )
+    lp_buf = jax.lax.dynamic_update_slice(lp_buf, lps.astype(lp_buf.dtype), (offset, zero))
+    tau = integrated_autocorr_time_masked(chain_buf, offset + n_steps)
+    return key, state, chain_buf, lp_buf, tau, acc
 
 
 def _pallas_backend_ok() -> bool:
@@ -586,24 +613,29 @@ class GPModelling:
         self.converged = False
         self._autocorr = []
 
-        chains, lps = [], []
+        # device-resident chain: the whole run writes into fixed-size
+        # buffers, the convergence check is one fused device program per
+        # segment (sampler scan + masked autocorr) with a (D+1,)-scalar
+        # fetch, and the chain crosses to the host ONCE at the end
+        logprob_fn = self._logprob_batch_fast if fast else self._logprob_batch
         state = jnp.asarray(initial_chain_params)
+        chain_buf = jnp.zeros((max_steps, walkers, self._ndim), dtype=state.dtype)
+        lp_buf = jnp.zeros((max_steps, walkers), dtype=state.dtype)
+        key = self._key
         iteration = 0
         tau = np.full(self._ndim, np.inf)
         while iteration < max_steps:
             steps = min(convergence_steps, max_steps - iteration)
-            self._key, sub = jax.random.split(self._key)
-            logprob_fn = self._logprob_batch_fast if fast else self._logprob_batch
-            chain, lp, acc, state = sample_ensemble(sub, logprob_fn, state, steps)
-            chains.append(np.asarray(chain))
-            lps.append(np.asarray(lp))
+            key, state, chain_buf, lp_buf, tau_d, acc = _advance_segment(
+                key, state, chain_buf, lp_buf,
+                jnp.asarray(iteration, dtype=jnp.int32),
+                log_prob_fn=logprob_fn, n_steps=steps,
+            )
             iteration += steps
+            tau = np.asarray(tau_d)
+            self._autocorr.append(np.mean(tau))
             if progress:
                 print(f"step {iteration}/{max_steps} (accept {float(acc):.2f})", flush=True)
-
-            full_chain = np.concatenate(chains)
-            tau = integrated_autocorr_time_np(full_chain)
-            self._autocorr.append(np.mean(tau))
 
             if (
                 np.all(tau * 100 < iteration)
@@ -616,7 +648,10 @@ class GPModelling:
                 break
             old_tau = tau
 
-        sampler = ChainResult(np.concatenate(chains), np.concatenate(lps))
+        self._key = key
+        sampler = ChainResult(
+            np.asarray(chain_buf[:iteration]), np.asarray(lp_buf[:iteration])
+        )
         self._tau = tau
         mean_tau = np.mean(tau)
         if not np.isfinite(mean_tau):
@@ -638,12 +673,20 @@ class GPModelling:
         self._loglikelihoods = sampler.get_log_prob(discard=discard, thin=thin, flat=True)
         self._mcmc_samples = sampler.get_chain(discard=discard, thin=thin, flat=True)
         if fast and len(self._mcmc_samples):
-            # report f64 log-probabilities at the f32-explored samples
-            flat = jnp.asarray(self._mcmc_samples, dtype=jnp.float64)
+            # report f64 log-probabilities at the f32-explored samples;
+            # every chunk is padded to the same 4096-row shape so the
+            # whole recompute reuses ONE compiled executable regardless
+            # of how the thin/discard policy landed
+            flat = np.asarray(self._mcmc_samples, dtype=np.float64)
+            m = flat.shape[0]
+            chunk = 4096
+            pad = (-m) % chunk
+            if pad:
+                flat = np.concatenate([flat, np.broadcast_to(flat[:1], (pad, flat.shape[1]))])
             out = []
-            for start in range(0, flat.shape[0], 4096):
-                out.append(np.asarray(self._logprob_batch(flat[start : start + 4096])))
-            self._loglikelihoods = np.concatenate(out)
+            for start in range(0, flat.shape[0], chunk):
+                out.append(np.asarray(self._logprob_batch(jnp.asarray(flat[start : start + chunk]))))
+            self._loglikelihoods = np.concatenate(out)[:m]
         self._sampler = sampler
 
     # ------------------------------------------------------------------ #

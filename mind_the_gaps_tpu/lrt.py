@@ -37,7 +37,59 @@ from mind_the_gaps_tpu.parallel import default_mesh, shard_batch
 from mind_the_gaps_tpu.sampler.ensemble import max_loglike_ensemble_impl
 from mind_the_gaps_tpu.solver import log_likelihood as solver_log_likelihood
 
-__all__ = ["LRTResult", "protassov_lrt", "fit_lightcurves_batch", "percentile_of_score"]
+__all__ = [
+    "LRTResult",
+    "protassov_lrt",
+    "fit_lightcurves_batch",
+    "loglikes_f64_at",
+    "percentile_of_score",
+]
+
+
+def loglikes_f64_at(kernel, times, ys, dys, thetas, chunk: int = 4096):
+    """Exact float64 log-posteriors of ``kernel`` at per-lightcurve
+    parameters: one batched XLA scan per fixed-shape chunk.
+
+    The T statistics of the fast bootstrap are made f64-exact this way:
+    ``fit_lightcurves_batch`` explores in f32 through the Pallas kernel,
+    then the (B, D) returned ``best_x`` are re-evaluated here (same
+    model as the fitter: per-lightcurve constant mean = mean of its own
+    data, flat prior within bounds — reference gpmodelling.py:83-87).
+    Chunks are padded to one shape so a 10k-sim refinement is a handful
+    of device calls reusing one executable.
+    """
+    ys = np.asarray(ys, dtype=np.float64)
+    dys = np.asarray(dys, dtype=np.float64)
+    diags = (dys + 1e-12) ** 2
+    thetas = np.asarray(thetas, dtype=np.float64)
+    t64 = jnp.asarray(times, dtype=jnp.float64)
+    B = ys.shape[0]
+    chunk = min(chunk, max(B, 1))
+    out = []
+    for start in range(0, B, chunk):
+        yb, db, xb = ys[start : start + chunk], diags[start : start + chunk], thetas[start : start + chunk]
+        nb = yb.shape[0]
+        rem = chunk - nb
+        if rem:
+            pad_idx = np.arange(rem) % nb
+            yb = np.concatenate([yb, yb[pad_idx]])
+            db = np.concatenate([db, db[pad_idx]])
+            xb = np.concatenate([xb, xb[pad_idx]])
+        ll = _f64_logprob_chunk(jnp.asarray(xb), t64, jnp.asarray(yb), jnp.asarray(db), kernel=kernel)
+        out.append(np.asarray(ll)[:nb])
+    return np.concatenate(out) if out else np.empty((0,))
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _f64_logprob_chunk(thetas, t, ys, diags, *, kernel):
+    from mind_the_gaps_tpu.solver.batched import batched_log_likelihood
+
+    coeffs = jax.vmap(kernel.coefficients)(thetas)
+    lp = jax.vmap(kernel.log_prior)(thetas)
+    jitter = jax.vmap(kernel.jitter)(thetas)
+    means = jnp.mean(ys, axis=1)
+    ll = batched_log_likelihood(coeffs, t, ys, diags, mean=means, repeats=1, extra_diag=jitter)
+    return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
 
 def percentile_of_score(dist, score) -> float:
@@ -290,7 +342,14 @@ def fit_lightcurves_batch(
         db = diags[start : start + chunk]
         nb = yb.shape[0]
         align = g_align * (n_dev if mesh is not None else 1)
-        rem = (-nb) % align
+        # a ragged last chunk of a multi-chunk run is padded all the way
+        # up to the full chunk size: the whole bootstrap then reuses ONE
+        # compiled executable (a second program shape costs far more in
+        # remote-compile time than the wasted pad rows cost in compute)
+        if B > chunk and nb < chunk and chunk % align == 0:
+            rem = chunk - nb
+        else:
+            rem = (-nb) % align
         if rem:
             pad_idx = np.arange(rem) % nb  # cyclic pad (rem may exceed nb)
             yb = np.concatenate([yb, yb[pad_idx]])
@@ -387,40 +446,51 @@ def protassov_lrt(
         nsims, pdf=pdf, extension_factor=extension_factor, sigma_noise=sigma_noise, seed=seed + 1
     )
 
-    # 3. refit both models to every simulation (the batched hot loop)
+    # 3. refit both models to every simulation (the batched hot loop).
+    # The matched-estimator observed fit rides IN the same batch as the
+    # simulations (row 0), so the whole LRT compiles exactly one
+    # short-MCMC program shape per kernel — round 2 pushed the single
+    # observed lightcurve through its own G-padded program, a whole
+    # extra Pallas compile for B=1.
     key, k_null, k_alt = jax.random.split(key, 3)
     theta0_null = null_model.max_parameters[: null_kernel.ndim]
     theta0_alt = alt_model.max_parameters[: alt_kernel.ndim]
     import jax.numpy as _jnp
 
     sim_dtype = None if sim_dtype is None else _jnp.dtype(sim_dtype)
-    null_lls, _ = fit_lightcurves_batch(
-        k_null, null_kernel, lightcurve.times, sim_rates, sim_dy, theta0_null,
+    if matched_estimator:
+        dy_obs = lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n)
+        fit_rates = np.concatenate([np.asarray(lightcurve.y)[None, :], sim_rates])
+        fit_dy = np.concatenate([np.asarray(dy_obs)[None, :], sim_dy])
+    else:
+        fit_rates, fit_dy = sim_rates, sim_dy
+    null_lls, null_xs = fit_lightcurves_batch(
+        k_null, null_kernel, lightcurve.times, fit_rates, fit_dy, theta0_null,
         walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
     )
-    alt_lls, _ = fit_lightcurves_batch(
-        k_alt, alt_kernel, lightcurve.times, sim_rates, sim_dy, theta0_alt,
+    alt_lls, alt_xs = fit_lightcurves_batch(
+        k_alt, alt_kernel, lightcurve.times, fit_rates, fit_dy, theta0_alt,
         walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
     )
+    if sim_dtype is not None and sim_dtype != _jnp.dtype(np.float64):
+        # f64-exact T statistics: re-evaluate the f32-explored optima
+        # with the batched f64 scan (one compiled shape, <1 s per 10k
+        # sims) instead of merely casting the f32 values
+        null_lls = loglikes_f64_at(null_kernel, lightcurve.times, fit_rates, fit_dy, null_xs)
+        alt_lls = loglikes_f64_at(alt_kernel, lightcurve.times, fit_rates, fit_dy, alt_xs)
     null_lls = null_lls.astype(np.float64)
     alt_lls = alt_lls.astype(np.float64)
+
+    if matched_estimator:
+        ll0_obs, ll1_obs = null_lls[0], alt_lls[0]
+        null_lls, alt_lls = null_lls[1:], alt_lls[1:]
 
     # 4. T distribution and p-values (reference nb: percentileofscore)
     t_dist = -2.0 * (null_lls - alt_lls)
     p_posterior = 1.0 - percentile_of_score(t_dist, t_obs) / 100.0
 
     if matched_estimator:
-        key, k_obs0, k_obs1 = jax.random.split(key, 3)
-        dy_obs = lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n)
-        ll0_obs, _ = fit_lightcurves_batch(
-            k_obs0, null_kernel, lightcurve.times, lightcurve.y[None, :], dy_obs[None, :],
-            theta0_null, walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
-        )
-        ll1_obs, _ = fit_lightcurves_batch(
-            k_obs1, alt_kernel, lightcurve.times, lightcurve.y[None, :], dy_obs[None, :],
-            theta0_alt, walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
-        )
-        t_obs_matched = -2.0 * (float(ll0_obs[0]) - float(ll1_obs[0]))
+        t_obs_matched = -2.0 * (float(ll0_obs) - float(ll1_obs))
         p_value = 1.0 - percentile_of_score(t_dist, t_obs_matched) / 100.0
         t_main = t_obs_matched
     else:

@@ -12,7 +12,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["integrated_autocorr_time", "integrated_autocorr_time_np", "autocorr_function"]
+__all__ = [
+    "integrated_autocorr_time",
+    "integrated_autocorr_time_masked",
+    "integrated_autocorr_time_np",
+    "autocorr_function",
+]
 
 
 def _next_pow_two(n: int) -> int:
@@ -69,6 +74,49 @@ def integrated_autocorr_time_np(chain, c: float = 5.0):
         window = int(np.argmax(crossed)) if crossed.any() else n - 1
         out[j] = taus[window, j]
     return out
+
+
+@partial(jax.jit, static_argnames=("c",))
+def integrated_autocorr_time_masked(chain_buf, n_valid, c: float = 5.0):
+    """tau over the first ``n_valid`` steps of a fixed-size chain buffer.
+
+    The device-side engine of the derive_posteriors convergence loop:
+    the chain lives in a preallocated (max_steps, W, D) buffer, so this
+    compiles ONCE per run and each convergence check is a single device
+    call with a (D,)-scalar fetch — instead of re-fetching the growing
+    chain and re-running the host FFT estimator every segment
+    (O(segments^2) host work, the round-2 bottleneck).
+
+    Exactly the emcee tol=0 estimator (same as
+    ``integrated_autocorr_time_np`` on ``chain_buf[:n_valid]``): rows
+    >= n_valid are masked out of the mean, zero-padded into the FFT
+    (the 2*next_pow2(S) transform length keeps every lag < S exact),
+    and excluded from the window search.
+    """
+    s, w, d = chain_buf.shape
+    idx = jnp.arange(s)
+    valid = idx < n_valid
+    mask = valid[:, None, None]
+    nv = n_valid.astype(chain_buf.dtype) if hasattr(n_valid, "astype") else jnp.asarray(
+        n_valid, dtype=chain_buf.dtype
+    )
+    xmean = jnp.sum(jnp.where(mask, chain_buf, 0.0), axis=0) / nv
+    x = jnp.where(mask, chain_buf - xmean[None], 0.0).astype(jnp.float32)
+    m = 2 * _next_pow_two(s)
+    f = jnp.fft.fft(x, n=m, axis=0)
+    acf = jnp.fft.ifft(f * jnp.conj(f), axis=0)[:s].real.astype(chain_buf.dtype)
+    norm = acf[:1]
+    dead = ~(norm > 0)  # constant (stuck) walkers: treat as fully correlated
+    acf = jnp.where(dead, 1.0, acf / jnp.where(dead, 1.0, norm))
+    rho = jnp.mean(acf, axis=1)  # (s, d)
+    taus = 2.0 * jnp.cumsum(rho, axis=0) - 1.0
+
+    def pick(tj):  # tj: (s,)
+        crossed = (idx >= c * tj) & valid
+        window = jnp.where(jnp.any(crossed), jnp.argmax(crossed), n_valid - 1)
+        return tj[window]
+
+    return jax.vmap(pick, in_axes=1)(taus)
 
 
 @partial(jax.jit, static_argnames=("c",))

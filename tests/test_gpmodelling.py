@@ -292,3 +292,55 @@ def test_chainresult_autocorr_tol_honored():
     assert tau.shape == (2,)
     with _pytest.raises(RuntimeError, match="autocorrelation time"):
         cr.get_autocorr_time(tol=1000)
+
+
+def test_masked_autocorr_matches_host_estimator():
+    """The device-side masked tau (fixed-size buffer, n_valid prefix)
+    must match the host estimator on the same prefix — it drives the
+    derive_posteriors convergence policy."""
+    import jax.numpy as jnp
+
+    from mind_the_gaps_tpu.sampler.autocorr import (
+        integrated_autocorr_time_masked,
+        integrated_autocorr_time_np,
+    )
+
+    rng = np.random.default_rng(3)
+    # AR(1) chains with different correlation per parameter
+    n, w, d = 700, 10, 3
+    x = np.zeros((n, w, d))
+    for j, a in enumerate([0.2, 0.7, 0.9]):
+        e = rng.normal(size=(n, w))
+        for i in range(1, n):
+            x[i, :, j] = a * x[i - 1, :, j] + e[i]
+    for n_valid in (256, 500, 700):
+        buf = np.zeros((n, w, d))
+        buf[:n_valid] = x[:n_valid]
+        ref = integrated_autocorr_time_np(x[:n_valid])
+        got = np.asarray(
+            integrated_autocorr_time_masked(jnp.asarray(buf), jnp.asarray(n_valid, dtype=jnp.int32))
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-6)
+
+
+def test_masked_autocorr_dead_walker():
+    """A constant (stuck) walker must not poison tau with NaN in either
+    estimator tier."""
+    import jax.numpy as jnp
+
+    from mind_the_gaps_tpu.sampler.autocorr import (
+        integrated_autocorr_time_masked,
+        integrated_autocorr_time_np,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(200, 6, 2))
+    x[:, 2, :] = 1.234  # stuck walker
+    ref = integrated_autocorr_time_np(x[:150])
+    buf = np.zeros_like(x)
+    buf[:150] = x[:150]
+    got = np.asarray(
+        integrated_autocorr_time_masked(jnp.asarray(buf), jnp.asarray(150, dtype=jnp.int32))
+    )
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, ref, rtol=2e-4)
