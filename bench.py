@@ -234,8 +234,10 @@ def _derive_posteriors_seconds(t, y, diag, steps=4000, walkers=32):
     gp = GPModelling(lc, kernel)
     theta0 = np.asarray(gp.initial_params)
     init = gp.spread_walkers(walkers, theta0, np.array(gp.get_parameter_bounds(), dtype=object))
-    # warmup run compiles the segment program (+ session warmup)
-    gp.derive_posteriors(initial_chain_params=init, max_steps=1000, converge=False, seed=11)
+    # warmup run MUST use the same max_steps: the chain-buffer shape is
+    # part of the segment program, so a different budget would push a
+    # fresh compile into the timed region (plus the usual session warmup)
+    gp.derive_posteriors(initial_chain_params=init, max_steps=steps, converge=False, seed=11)
     start = time.perf_counter()
     gp.derive_posteriors(initial_chain_params=init, max_steps=steps, converge=False, seed=12)
     elapsed = time.perf_counter() - start

@@ -20,7 +20,14 @@ __all__ = [
 def _plt():
     import matplotlib
 
-    if not matplotlib.get_backend().lower().startswith(("qt", "tk", "macosx", "gtk")):
+    backend = matplotlib.get_backend().lower()
+    # fall back to Agg only when no working backend is active: GUI
+    # backends, the Jupyter inline/nbagg backends ("module://..."), and
+    # Agg itself all must be left alone (switching away from inline
+    # silently swallows notebook figures)
+    if not backend.startswith(
+        ("qt", "tk", "macosx", "gtk", "webagg", "nbagg", "module://")
+    ) and "agg" not in backend:
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
