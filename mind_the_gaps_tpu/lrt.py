@@ -154,13 +154,14 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
                 if dtype is not None:
                     thetas = thetas.astype(dtype)
                 # tile/time_block swept on a v5e chip (grouped layout,
-                # half=8, N=5k): tile 1024 / tb 512 gives 318k evals/s
-                # vs 270k at the old 2048/256 default.  tile must keep
-                # tile/repeats a multiple of 128 (Mosaic block rule) and
-                # divide the batch; ragged chunks fall back to the old
-                # default, which pallas reduces to a valid tile itself.
+                # half=8, N=5k).  Round 3, packed-symmetric kernel body:
+                # tile 2048 / tb 512 gives 440-500k evals/s (1024 is
+                # within noise; the round-2 dense body peaked at 318k).
+                # tile must keep tile/repeats a multiple of 128 (Mosaic
+                # block rule) and divide the batch; ragged chunks fall
+                # back, and pallas reduces to a valid tile itself.
                 bt = thetas.shape[0]
-                tile = max(1024, half * 128)
+                tile = max(2048, half * 128)
                 if bt % tile:
                     tile = 2048
                 coeffs = jax.vmap(kernel.coefficients)(thetas)

@@ -214,10 +214,241 @@ def _make_kernel(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile", "repeats", "time_block"))
+def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: int, grouped: bool, needs_mask: bool, g_tile: int):
+    """Packed-symmetric variant of the kernel body: S is symmetric, so
+    only its R(R+1)/2 unique entries are stored (one 8-sublane tile
+    group at R=3 instead of two) and the update computes each output
+    entry with closed-form block formulas instead of the full outer
+    product + two dense P-rotations.  TPU-measured at R=3 (DRW+QPO,
+    N=5k, B=64k): 1.05M evals/s vs 504k for the dense-S body (2.09x),
+    max |diff| 2e-3 (_scratch/pallas_sym_experiment.py).
+
+    The per-entry rows are generated by trace-time Python loops over the
+    static block structure (real rows scale, complex pairs rotate), so
+    any (Jr, Jc) lowers to straight row-vector arithmetic.
+    """
+    R = Jr + 2 * Jc
+    nS = R * (R + 1) // 2
+    _T = tile
+
+    pidx = {}
+    _k = 0
+    for _i in range(R):
+        for _j in range(_i, R):
+            pidx[(_i, _j)] = _k
+            _k += 1
+
+    def sidx(i, j):
+        return pidx[(i, j)] if i <= j else pidx[(j, i)]
+
+    # static row structure: ('r', term) for real rows, ('c', pair, 0/1)
+    row_kind = [("r", i) for i in range(Jr)] + [
+        ("c", k, p) for k in range(Jc) for p in (0, 1)
+    ]
+
+    def kernel(
+        dt_ref, y_ref, diag_ref,
+        ar_ref, cr_ref, ac_ref, bc_ref, cc_ref, dc_ref, mean_ref, jit_ref, e_ref,
+        out_ref,
+        S_scr, W_scr, f_scr, misc_scr, yx_scr, dx_scr,
+    ):
+        # misc rows: 0=D, 1=z, 2=logdet, 3=logdet_c, 4=quad, 5=quad_c, 6=ok
+        j = pl.program_id(1)
+
+        ar_rows = [ar_ref[i, :] for i in range(Jr)]
+        cr_rows = [cr_ref[i, :] for i in range(Jr)]
+        ac_rows = [ac_ref[i, :] for i in range(Jc)]
+        bc_rows = [bc_ref[i, :] for i in range(Jc)]
+        cc_rows = [cc_ref[i, :] for i in range(Jc)]
+        dc_rows = [dc_ref[i, :] for i in range(Jc)]
+        mean = mean_ref[0, :]
+
+        def fill(dst, src):
+            if grouped and g_tile == _T:
+                dst[:, :] = src[:, :]
+            else:
+                dst[:, :] = jax.lax.dot_general(
+                    src[:, :], e_ref[:, :], (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=dtype,
+                )
+
+        fill(yx_scr, y_ref)
+        fill(dx_scr, diag_ref)
+
+        k0 = jit_ref[0, :]
+        for a in ar_rows:
+            k0 = k0 + a
+        for a in ac_rows:
+            k0 = k0 + a
+
+        # u = [ar..., (ac, bc)...], v = [1..., (1, 0)...]
+        u = ar_rows + [x for k in range(Jc) for x in (ac_rows[k], bc_rows[k])]
+        ones = jnp.ones((_T,), dtype=dtype)
+        zeros = jnp.zeros((_T,), dtype=dtype)
+        v = [ones] * Jr + [x for _ in range(Jc) for x in (ones, zeros)]
+
+        @pl.when(j == 0)
+        def _init():
+            r0 = yx_scr[0, :] - mean
+            A0 = dx_scr[0, :] + k0
+            S_scr[:, :] = jnp.zeros((nS, _T), dtype=dtype)
+            for i in range(R):
+                W_scr[i, :] = v[i] / A0
+            f_scr[:, :] = jnp.zeros((R, _T), dtype=dtype)
+            misc_scr[0, :] = A0
+            misc_scr[1, :] = r0
+            misc_scr[2, :] = jnp.log(jnp.abs(A0))
+            misc_scr[3, :] = jnp.zeros_like(A0)
+            misc_scr[4, :] = r0 * r0 / A0
+            misc_scr[5, :] = jnp.zeros_like(A0)
+            misc_scr[6, :] = jnp.where(A0 > 0.0, jnp.ones_like(A0), jnp.zeros_like(A0))
+
+        def body(n, _):
+            valid = (j * tb + n) < N if needs_mask else True
+
+            dt_n = dt_ref[n, 0]
+            y_n = yx_scr[n, :]
+            d_n = dx_scr[n, :]
+            er = [jnp.exp(-c * dt_n) for c in cr_rows]
+            Cv, Sv = [], []
+            for k in range(Jc):
+                ecd = jnp.exp(-cc_rows[k] * dt_n)
+                arg = dc_rows[k] * dt_n
+                Cv.append(ecd * jnp.cos(arg))
+                Sv.append(ecd * jnp.sin(arg))
+            rn = y_n - mean
+            An = d_n + k0
+
+            D_prev = misc_scr[0, :]
+            z_prev = misc_scr[1, :]
+            W = [W_scr[i, :] for i in range(R)]
+            f = [f_scr[i, :] for i in range(R)]
+
+            # M = S + D_prev W W^T (packed)
+            m = {}
+            for i in range(R):
+                for jj in range(i, R):
+                    m[(i, jj)] = S_scr[sidx(i, jj), :] + D_prev * W[i] * W[jj]
+
+            def M(i, jj):
+                return m[(i, jj)] if i <= jj else m[(jj, i)]
+
+            # T = P M, computed lazily per entry (memoized; P block-diag)
+            memoT = {}
+
+            def T(i, jj):
+                if (i, jj) in memoT:
+                    return memoT[(i, jj)]
+                kind = row_kind[i]
+                if kind[0] == "r":
+                    val = er[kind[1]] * M(i, jj)
+                else:
+                    k, p = kind[1], kind[2]
+                    a = Jr + 2 * k
+                    if p == 0:
+                        val = Cv[k] * M(a, jj) - Sv[k] * M(a + 1, jj)
+                    else:
+                        val = Sv[k] * M(a, jj) + Cv[k] * M(a + 1, jj)
+                memoT[(i, jj)] = val
+                return val
+
+            # S' = T P^T, only the packed upper triangle
+            s_new = [None] * nS
+            for i in range(R):
+                for jj in range(i, R):
+                    kind = row_kind[jj]
+                    if kind[0] == "r":
+                        s_new[pidx[(i, jj)]] = T(i, jj) * er[kind[1]]
+                    else:
+                        k, p = kind[1], kind[2]
+                        a = Jr + 2 * k
+                        if p == 0:
+                            s_new[pidx[(i, jj)]] = Cv[k] * T(i, a) - Sv[k] * T(i, a + 1)
+                        else:
+                            s_new[pidx[(i, jj)]] = Sv[k] * T(i, a) + Cv[k] * T(i, a + 1)
+
+            def S_new(i, jj):
+                return s_new[sidx(i, jj)]
+
+            Su = []
+            for i in range(R):
+                acc = S_new(i, 0) * u[0]
+                for jj in range(1, R):
+                    acc = acc + S_new(i, jj) * u[jj]
+                Su.append(acc)
+            uSu = Su[0] * u[0]
+            for i in range(1, R):
+                uSu = uSu + Su[i] * u[i]
+            D = An - uSu
+            Dinv = 1.0 / D
+            W_new = [(v[i] - Su[i]) * Dinv for i in range(R)]
+
+            # f' = P (f + W z)
+            g = [f[i] + W[i] * z_prev for i in range(R)]
+            f_new = []
+            for i in range(R):
+                kind = row_kind[i]
+                if kind[0] == "r":
+                    f_new.append(er[kind[1]] * g[i])
+                else:
+                    k, p = kind[1], kind[2]
+                    a = Jr + 2 * k
+                    if p == 0:
+                        f_new.append(Cv[k] * g[a] - Sv[k] * g[a + 1])
+                    else:
+                        f_new.append(Sv[k] * g[a] + Cv[k] * g[a + 1])
+            uf = u[0] * f_new[0]
+            for i in range(1, R):
+                uf = uf + u[i] * f_new[i]
+            z = rn - uf
+
+            logdet, lc_ = misc_scr[2, :], misc_scr[3, :]
+            quad, qc_ = misc_scr[4, :], misc_scr[5, :]
+            x1 = jnp.log(jnp.abs(D)) - lc_
+            t1 = logdet + x1
+            lc_n = (t1 - logdet) - x1
+            x2 = z * z * Dinv - qc_
+            t2 = quad + x2
+            qc_n = (t2 - quad) - x2
+
+            def _write():
+                for kk in range(nS):
+                    S_scr[kk, :] = s_new[kk]
+                for i in range(R):
+                    W_scr[i, :] = W_new[i]
+                    f_scr[i, :] = f_new[i]
+                misc_scr[0, :] = D
+                misc_scr[1, :] = z
+                misc_scr[2, :] = t1
+                misc_scr[3, :] = lc_n
+                misc_scr[4, :] = t2
+                misc_scr[5, :] = qc_n
+                misc_scr[6, :] = misc_scr[6, :] * jnp.where(
+                    D > 0.0, jnp.ones_like(D), jnp.zeros_like(D)
+                )
+
+            if needs_mask:
+                pl.when(valid)(_write)
+            else:
+                _write()
+
+            return jnp.int32(0)
+
+        start = jnp.where(j == jnp.int32(0), jnp.int32(1), jnp.int32(0))
+        jax.lax.fori_loop(start, jnp.int32(tb), body, jnp.int32(0))
+
+        ll = -0.5 * (misc_scr[4, :] + misc_scr[2, :] + N * math.log(2.0 * math.pi))
+        out_ref[0, :] = jnp.where(misc_scr[6, :] > 0.5, ll, -jnp.inf)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret", "tile", "repeats", "time_block", "sym"))
 def pallas_log_likelihood(
     coeffs, t, y, diag, mean=None, interpret: bool = False, tile: int = 2048,
     repeats: int = 1, extra_diag=None, time_block: int = _TIME_BLOCK,
+    sym: bool = True,
 ):
     """Batched log N(y | mean, K(theta_b)) via the Pallas kernel.
 
@@ -229,6 +460,9 @@ def pallas_log_likelihood(
     (each walker subtracts its own mean curve before the solve).
     mean / extra_diag: optional per-element (B,) vectors.
     float32 recommended on TPU (the f64 variant is CPU/interpret-only).
+    ``sym`` (default): the packed-symmetric-S kernel body (2.09x the
+    dense-S body on a v5e chip at R=3); sym=False keeps the dense body
+    for comparison.
     """
     ar, cr, ac, bc, cc, dc = coeffs
     B = ar.shape[0]
@@ -330,7 +564,9 @@ def pallas_log_likelihood(
     def bspec_series(width):
         return pl.BlockSpec((tb, width), lambda i, jb: (jb, 0 if width == 1 else i), memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile)
+    make = _make_kernel_sym if sym else _make_kernel
+    kernel = make(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile)
+    n_state = (R * (R + 1)) // 2 if sym else R * R
     grid = (B // tile, n_blocks)
 
     call = pl.pallas_call(
@@ -353,7 +589,7 @@ def pallas_log_likelihood(
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i, jb: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R * R, tile), dtype),
+            pltpu.VMEM((n_state, tile), dtype),
             pltpu.VMEM((R, tile), dtype),
             pltpu.VMEM((R, tile), dtype),
             pltpu.VMEM((8, tile), dtype),

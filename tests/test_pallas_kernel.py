@@ -61,3 +61,32 @@ def test_pallas_f32():
         pallas_log_likelihood(co, t, y.astype(np.float32), diag.astype(np.float32), interpret=True)
     )
     np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-3)
+
+
+def test_pallas_sym_matches_dense_body():
+    """The packed-symmetric-S kernel body (default) must match the dense
+    R x R body on every block-structure case, including two complex
+    pairs (off-diagonal complex-complex blocks, R=5)."""
+    t, y, diag = _data()
+    kernels = [
+        DampedRandomWalk(log_S0=1.0, log_omega0=-3.0),                      # Jr=1
+        Lorentzian(log_S0=-1.0, log_Q=2.0, log_omega0=-2.0),                # Jc=1
+        DampedRandomWalk(log_S0=1.0, log_omega0=-3.0)
+        + Lorentzian(log_S0=-1.0, log_Q=2.0, log_omega0=-2.0),              # R=3
+        DampedRandomWalk(log_S0=1.0, log_omega0=-3.0)
+        + Lorentzian(log_S0=-1.0, log_Q=2.0, log_omega0=-2.0)
+        + Lorentzian(log_S0=-0.5, log_Q=1.0, log_omega0=-1.0),              # R=5, Jc=2
+        RealTerm(0.5, -1.0) + RealTerm(-0.5, -2.0)
+        + Lorentzian(-1.0, 2.0, -2.0) + Lorentzian(-0.5, 1.0, -1.0),        # R=6
+    ]
+    for kernel in kernels:
+        theta0 = kernel.get_parameter_vector()
+        thetas = jnp.asarray(
+            theta0 + 0.05 * np.asarray(jax.random.normal(jax.random.key(2), (128, len(theta0))))
+        )
+        co = jax.vmap(kernel.coefficients)(thetas)
+        dense = np.asarray(pallas_log_likelihood(co, t, y, diag, interpret=True, sym=False))
+        sym = np.asarray(pallas_log_likelihood(co, t, y, diag, interpret=True, sym=True))
+        ref = np.asarray(batched_log_likelihood(co, t, y, diag))
+        np.testing.assert_allclose(sym, dense, rtol=1e-9, atol=1e-7)
+        np.testing.assert_allclose(sym, ref, rtol=1e-9, atol=1e-7)
