@@ -954,6 +954,41 @@ class GPModelling:
         noisy_rates, dy = simulator.add_noise(rates)
         return GappyLightcurve(self._lightcurve.times, noisy_rates, dy)
 
+    def make_device_generator(
+        self,
+        pdf: str = "Gaussian",
+        extension_factor: int = 2,
+        sigma_noise=None,
+    ):
+        """Build the device-resident posterior-predictive generator:
+        ``gen(k_sim, k_noise, thetas (B, D)) -> (rates (B, n), dy (B, n))``
+        as DEVICE arrays — the core of ``generate_batch_from_posteriors``
+        without the per-chunk host fetch, so the LRT pipeline can feed
+        simulations straight into the batched fitter (the host round
+        trip of the (nsims, n) arrays cost ~1/3 of the round-2 10k-sim
+        LRT wall-clock)."""
+        simulator = self._lightcurve.get_simulator(
+            self.kernel.get_psd, pdf, sigma_noise=sigma_noise, extension_factor=extension_factor
+        )
+        omega = jnp.asarray(simulator.omega)
+        nk = self._nk
+        kernel = self.kernel
+
+        @jax.jit
+        def psd_batch(thetas):
+            def one(theta):
+                vals = kernel.get_psd(omega[1:], theta[:nk])
+                return jnp.concatenate([jnp.zeros((1,), dtype=vals.dtype), vals])
+
+            return jax.vmap(one)(thetas)
+
+        def gen(k_sim, k_noise, thetas):
+            psd_values = psd_batch(jnp.asarray(thetas))
+            rates = simulator.simulate_batch(k_sim, psd_values)
+            return simulator.add_noise_batch(k_noise, rates)
+
+        return gen
+
     def generate_batch_from_posteriors(
         self,
         nsims: int,
@@ -972,21 +1007,9 @@ class GPModelling:
         )
         param_samples = np.asarray(self._mcmc_samples)[idx]
 
-        simulator = self._lightcurve.get_simulator(
-            self.kernel.get_psd, pdf, sigma_noise=sigma_noise, extension_factor=extension_factor
+        gen = self.make_device_generator(
+            pdf, extension_factor=extension_factor, sigma_noise=sigma_noise
         )
-        omega = jnp.asarray(simulator.omega)
-        nk = self._nk
-        kernel = self.kernel
-
-        @jax.jit
-        def psd_batch(thetas):
-            def one(theta):
-                vals = kernel.get_psd(omega[1:], theta[:nk])
-                return jnp.concatenate([jnp.zeros((1,), dtype=vals.dtype), vals])
-
-            return jax.vmap(one)(thetas)
-
         # Chunk the whole generation: at 10k sims the PSD batch alone is
         # ~1 GB f64 (nsims x n_fft/2 frequencies) and the unchunked
         # batched FFT pipeline has been observed to crash the TPU worker.
@@ -995,10 +1018,9 @@ class GPModelling:
         k_noises = jax.random.split(k_noise, len(k_sims))
         noisy_out, dy_out = [], []
         for ci, start in enumerate(range(0, nsims, gen_chunk)):
-            thetas_c = jnp.asarray(param_samples[start : start + gen_chunk])
-            psd_values = psd_batch(thetas_c)
-            rates = simulator.simulate_batch(k_sims[ci], psd_values)
-            noisy, dy = simulator.add_noise_batch(k_noises[ci], rates)
+            noisy, dy = gen(
+                k_sims[ci], k_noises[ci], param_samples[start : start + gen_chunk]
+            )
             noisy_out.append(np.asarray(noisy))
             dy_out.append(np.asarray(dy))
         return np.concatenate(noisy_out), np.concatenate(dy_out)

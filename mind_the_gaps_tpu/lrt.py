@@ -92,6 +92,19 @@ def _f64_logprob_chunk(thetas, t, ys, diags, *, kernel):
     return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
 
+@partial(jax.jit, static_argnames=("kernel",))
+def _f64_logprob_chunk_from_dy(thetas, t, ys, dys, *, kernel):
+    """Device-array variant: takes raw errors, squares on device, casts
+    the f32-explored thetas to f64 — one fused program per chunk shape."""
+    thetas = jnp.asarray(thetas, dtype=jnp.float64)
+    ys = jnp.asarray(ys, dtype=jnp.float64)
+    diags = (jnp.asarray(dys, dtype=jnp.float64) + 1e-12) ** 2
+    return _f64_logprob_chunk(thetas, t, ys, diags, kernel=kernel)
+
+
+_square_err = jax.jit(lambda d: (d + 1e-12) ** 2)
+
+
 def percentile_of_score(dist, score) -> float:
     """scipy.stats.percentileofscore(kind='rank') equivalent."""
     dist = np.asarray(dist)
@@ -270,6 +283,105 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
     return jax.jit(sharded)
 
 
+class _ChunkFitter:
+    """Reusable short-MCMC chunk fitter for one kernel over fixed times.
+
+    Owns the jitted grouped-batch runner (with the compile-scoped Pallas
+    -> XLA fallback gate) and the chunk padding rules, so both the
+    host-array API (``fit_lightcurves_batch``) and the device-resident
+    LRT pipeline (``protassov_lrt``) drive identical programs.  Inputs
+    to ``fit_chunk`` may be numpy arrays or device arrays — device
+    arrays are padded with jnp ops and never round-trip the host.
+    """
+
+    def __init__(
+        self, kernel, times, theta0, walkers=16, n_steps=500, percent=0.1,
+        chunk=512, dtype=None, backend="auto", spmd="gspmd", use_mesh=True,
+    ):
+        self.chunk = chunk
+        self.percent = percent
+        self.theta0 = jnp.asarray(theta0, dtype=jnp.float64)
+        use_pallas = backend == "pallas" or (
+            backend == "auto"
+            and dtype is not None
+            and jnp.dtype(dtype) == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
+        self.n_dev = len(jax.devices())
+        self.mesh = default_mesh() if (use_mesh and self.n_dev > 1) else None
+        sm_mesh = self.mesh if (spmd == "shard_map" and self.mesh is not None) else None
+        self.runner = _make_batched_max_loglike(
+            kernel, times, n_steps, walkers, dtype=dtype,
+            backend="pallas" if use_pallas else "xla", mesh=sm_mesh,
+        )
+        self._runner_fallback = (
+            _make_batched_max_loglike(
+                kernel, times, n_steps, walkers, dtype=dtype, backend="xla", mesh=sm_mesh
+            )
+            if use_pallas
+            else None
+        )
+        # Pad the group axis to a multiple of 128 on the Pallas path: the
+        # kernel needs (G*half) % 128 == 0, and G % 128 == 0 additionally
+        # guarantees the swept tile divides every chunk.
+        self.g_align = 128 if use_pallas else 1
+
+    def pad_rows(self, nb: int, total: Optional[int] = None) -> int:
+        """Rows of cyclic padding for a chunk of nb lightcurves.
+
+        A ragged last chunk of a multi-chunk run is padded all the way
+        up to the full chunk size: the whole bootstrap then reuses ONE
+        compiled executable (a second program shape costs far more in
+        remote-compile time than the wasted pad rows cost in compute).
+        """
+        align = self.g_align * (self.n_dev if self.mesh is not None else 1)
+        if (total or nb) > self.chunk and nb < self.chunk and self.chunk % align == 0:
+            return self.chunk - nb
+        return (-nb) % align
+
+    def fit_chunk(self, key, yb, db, total: Optional[int] = None):
+        """(nb, N) data + VARIANCE diagonal -> (lls (nb,), xs (nb, D))."""
+        nb = yb.shape[0]
+        rem = self.pad_rows(nb, total)
+        if rem:
+            pad_idx = np.arange(rem) % nb  # cyclic (rem may exceed nb)
+            if isinstance(yb, np.ndarray):
+                yb = np.concatenate([yb, yb[pad_idx]])
+                db = np.concatenate([db, db[pad_idx]])
+            else:
+                yb = jnp.concatenate([yb, yb[pad_idx]])
+                db = jnp.concatenate([db, db[pad_idx]])
+        if self.mesh is not None:
+            yb = shard_batch(jnp.asarray(yb), self.mesh)
+            db = shard_batch(jnp.asarray(db), self.mesh)
+        yb_j, db_j = jnp.asarray(yb), jnp.asarray(db)
+        exec_fn = self.runner
+        if self._runner_fallback is not None:
+            # Gate the Pallas path on an explicit ahead-of-time compile:
+            # Mosaic being unavailable / failing to lower is a
+            # compile-time condition, and only that may trigger the XLA
+            # fallback.  Runtime errors (OOM, bad values) from the
+            # compiled program must propagate, not be swallowed as a
+            # silent 2.4x slowdown.  The AOT executable is used directly
+            # for this chunk so the compile is not paid twice.
+            try:
+                exec_fn = self.runner.lower(
+                    key, yb_j, db_j, self.theta0, self.percent
+                ).compile()
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    "Pallas solver failed to compile on this backend "
+                    f"({type(exc).__name__}: {exc}); falling back to the XLA scan solver"
+                )
+                self.runner = self._runner_fallback
+                exec_fn = self.runner
+            self._runner_fallback = None
+        lls, xs = exec_fn(key, yb_j, db_j, self.theta0, self.percent)
+        return lls[:nb], xs[:nb]
+
+
 def fit_lightcurves_batch(
     key,
     kernel,
@@ -300,91 +412,20 @@ def fit_lightcurves_batch(
     dys = np.asarray(dys, dtype=np.float64)
     diags = (dys + 1e-12) ** 2
     B = ys.shape[0]
-    theta0 = jnp.asarray(theta0, dtype=jnp.float64)
 
-
-    half = walkers // 2
-    use_pallas = False
-    if backend == "pallas":
-        use_pallas = True
-    elif backend == "auto":
-        # the Pallas kernel needs f32 and a TPU backend
-        use_pallas = (
-            dtype is not None
-            and jnp.dtype(dtype) == jnp.float32
-            and jax.default_backend() == "tpu"
-        )
-    mesh = None
-    n_dev = len(jax.devices())
-    if use_mesh and n_dev > 1:
-        mesh = default_mesh()
-    sm_mesh = mesh if (spmd == "shard_map" and mesh is not None) else None
-
-    runner = _make_batched_max_loglike(
-        kernel, times, n_steps, walkers, dtype=dtype,
-        backend="pallas" if use_pallas else "xla", mesh=sm_mesh,
+    fitter = _ChunkFitter(
+        kernel, times, theta0, walkers=walkers, n_steps=n_steps, percent=percent,
+        chunk=chunk, dtype=dtype, backend=backend, spmd=spmd, use_mesh=use_mesh,
     )
-    runner_fallback = (
-        _make_batched_max_loglike(
-            kernel, times, n_steps, walkers, dtype=dtype, backend="xla", mesh=sm_mesh
-        )
-        if use_pallas
-        else None
-    )
-    # Pad the group axis to a multiple of 128 on the Pallas path: the
-    # kernel needs (G*half) % 128 == 0, and G % 128 == 0 additionally
-    # guarantees the swept tile (max(1024, half*128)) divides every
-    # chunk, ragged remainders included.
-    g_align = 128 if use_pallas else 1
-
     best_lls, best_xs = [], []
     for start in range(0, B, chunk):
-        yb = ys[start : start + chunk]
-        db = diags[start : start + chunk]
-        nb = yb.shape[0]
-        align = g_align * (n_dev if mesh is not None else 1)
-        # a ragged last chunk of a multi-chunk run is padded all the way
-        # up to the full chunk size: the whole bootstrap then reuses ONE
-        # compiled executable (a second program shape costs far more in
-        # remote-compile time than the wasted pad rows cost in compute)
-        if B > chunk and nb < chunk and chunk % align == 0:
-            rem = chunk - nb
-        else:
-            rem = (-nb) % align
-        if rem:
-            pad_idx = np.arange(rem) % nb  # cyclic pad (rem may exceed nb)
-            yb = np.concatenate([yb, yb[pad_idx]])
-            db = np.concatenate([db, db[pad_idx]])
-        if mesh is not None:
-            yb = shard_batch(jnp.asarray(yb), mesh)
-            db = shard_batch(jnp.asarray(db), mesh)
         key, sub = jax.random.split(key)
-        yb_j, db_j = jnp.asarray(yb), jnp.asarray(db)
-        exec_fn = runner
-        if runner_fallback is not None:
-            # Gate the Pallas path on an explicit ahead-of-time compile:
-            # Mosaic being unavailable / failing to lower is a
-            # compile-time condition, and only that may trigger the XLA
-            # fallback.  Runtime errors (OOM, bad values) from the
-            # compiled program must propagate, not be swallowed as a
-            # silent 2.4x slowdown.  The AOT executable is used directly
-            # for this chunk so the compile is not paid twice.
-            try:
-                exec_fn = runner.lower(sub, yb_j, db_j, theta0, percent).compile()
-            except Exception as exc:
-                import warnings
-
-                warnings.warn(
-                    "Pallas solver failed to compile on this backend "
-                    f"({type(exc).__name__}: {exc}); falling back to the XLA scan solver"
-                )
-                runner = runner_fallback
-                exec_fn = runner
-            runner_fallback = None
-        lls, xs = exec_fn(sub, yb_j, db_j, theta0, percent)
+        lls, xs = fitter.fit_chunk(
+            sub, ys[start : start + chunk], diags[start : start + chunk], total=B
+        )
         lls.block_until_ready()
-        best_lls.append(np.asarray(lls)[:nb])
-        best_xs.append(np.asarray(xs)[:nb])
+        best_lls.append(np.asarray(lls))
+        best_xs.append(np.asarray(xs))
     return np.concatenate(best_lls), np.concatenate(best_xs)
 
 
@@ -409,11 +450,20 @@ def protassov_lrt(
     progress: bool = False,
     matched_estimator: bool = True,
     observed_fast: bool = False,
+    keep_simulations: bool = False,
 ) -> LRTResult:
     """Run the full Protassov LRT (SURVEY.md §3.4) end to end.
 
     Pass pre-fit ``null_model``/``alt_model`` (with posteriors derived) to
     skip step 1.
+
+    ``keep_simulations`` (default False): materialize every simulated
+    lightcurve on the host and return them in ``LRTResult.sim_rates`` /
+    ``sim_dy``.  The default runs the device-resident pipeline instead:
+    each chunk of simulations is generated on device and fed straight to
+    the fitters, so the (nsims, n) arrays never cross the host boundary
+    (at 10k sims that round trip alone costs minutes on a remote-device
+    runtime).
 
     ``matched_estimator`` (default True): compute the observed T with the
     SAME short-chain fitter used for the simulations.  The reference
@@ -442,49 +492,132 @@ def protassov_lrt(
 
     t_obs = -2.0 * (null_model.max_loglikelihood - alt_model.max_loglikelihood)
 
-    # 2. posterior-predictive simulations from the null
-    sim_rates, sim_dy = null_model.generate_batch_from_posteriors(
-        nsims, pdf=pdf, extension_factor=extension_factor, sigma_noise=sigma_noise, seed=seed + 1
-    )
-
-    # 3. refit both models to every simulation (the batched hot loop).
-    # The matched-estimator observed fit rides IN the same batch as the
-    # simulations (row 0), so the whole LRT compiles exactly one
-    # short-MCMC program shape per kernel — round 2 pushed the single
-    # observed lightcurve through its own G-padded program, a whole
-    # extra Pallas compile for B=1.
+    # 2+3. posterior-predictive simulation + refits.  The matched-
+    # estimator observed fit rides IN the same batch as the simulations,
+    # so the whole LRT compiles exactly one short-MCMC program shape per
+    # kernel — round 2 pushed the single observed lightcurve through its
+    # own G-padded program, a whole extra Pallas compile for B=1.
     key, k_null, k_alt = jax.random.split(key, 3)
     theta0_null = null_model.max_parameters[: null_kernel.ndim]
     theta0_alt = alt_model.max_parameters[: alt_kernel.ndim]
     import jax.numpy as _jnp
 
     sim_dtype = None if sim_dtype is None else _jnp.dtype(sim_dtype)
-    if matched_estimator:
-        dy_obs = lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n)
-        fit_rates = np.concatenate([np.asarray(lightcurve.y)[None, :], sim_rates])
-        fit_dy = np.concatenate([np.asarray(dy_obs)[None, :], sim_dy])
-    else:
-        fit_rates, fit_dy = sim_rates, sim_dy
-    null_lls, null_xs = fit_lightcurves_batch(
-        k_null, null_kernel, lightcurve.times, fit_rates, fit_dy, theta0_null,
-        walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+    refine_f64 = sim_dtype is not None and sim_dtype != _jnp.dtype(np.float64)
+    dy_obs = np.asarray(
+        lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n),
+        dtype=np.float64,
     )
-    alt_lls, alt_xs = fit_lightcurves_batch(
-        k_alt, alt_kernel, lightcurve.times, fit_rates, fit_dy, theta0_alt,
-        walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
-    )
-    if sim_dtype is not None and sim_dtype != _jnp.dtype(np.float64):
-        # f64-exact T statistics: re-evaluate the f32-explored optima
-        # with the batched f64 scan (one compiled shape, <1 s per 10k
-        # sims) instead of merely casting the f32 values
-        null_lls = loglikes_f64_at(null_kernel, lightcurve.times, fit_rates, fit_dy, null_xs)
-        alt_lls = loglikes_f64_at(alt_kernel, lightcurve.times, fit_rates, fit_dy, alt_xs)
-    null_lls = null_lls.astype(np.float64)
-    alt_lls = alt_lls.astype(np.float64)
+    sim_rates = sim_dy = None
 
-    if matched_estimator:
-        ll0_obs, ll1_obs = null_lls[0], alt_lls[0]
-        null_lls, alt_lls = null_lls[1:], alt_lls[1:]
+    if keep_simulations:
+        # host-array path: materialize every simulation on the host
+        # (returned in LRTResult.sim_rates/sim_dy)
+        sim_rates, sim_dy = null_model.generate_batch_from_posteriors(
+            nsims, pdf=pdf, extension_factor=extension_factor,
+            sigma_noise=sigma_noise, seed=seed + 1,
+        )
+        if matched_estimator:
+            fit_rates = np.concatenate([np.asarray(lightcurve.y)[None, :], sim_rates])
+            fit_dy = np.concatenate([dy_obs[None, :], sim_dy])
+        else:
+            fit_rates, fit_dy = sim_rates, sim_dy
+        null_lls, null_xs = fit_lightcurves_batch(
+            k_null, null_kernel, lightcurve.times, fit_rates, fit_dy, theta0_null,
+            walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+        )
+        alt_lls, alt_xs = fit_lightcurves_batch(
+            k_alt, alt_kernel, lightcurve.times, fit_rates, fit_dy, theta0_alt,
+            walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+        )
+        if refine_f64:
+            # f64-exact T statistics: re-evaluate the f32-explored
+            # optima with the batched f64 scan instead of casting
+            null_lls = loglikes_f64_at(null_kernel, lightcurve.times, fit_rates, fit_dy, null_xs)
+            alt_lls = loglikes_f64_at(alt_kernel, lightcurve.times, fit_rates, fit_dy, alt_xs)
+        null_lls = null_lls.astype(np.float64)
+        alt_lls = alt_lls.astype(np.float64)
+        if matched_estimator:
+            ll0_obs, ll1_obs = null_lls[0], alt_lls[0]
+            null_lls, alt_lls = null_lls[1:], alt_lls[1:]
+    else:
+        # device-resident pipeline (default): each chunk of simulations
+        # is generated on device and fed STRAIGHT to both fitters (and
+        # the f64 re-evaluation) without crossing to the host — only the
+        # (chunk,)-sized results are fetched.  The host round trip of
+        # the full (nsims, n) arrays cost ~1/3 of the round-2 10k-sim
+        # LRT wall-clock.  The RNG stream matches the host path (same
+        # draw keys, same per-chunk generation keys for full chunks).
+        k0 = jax.random.key(seed + 1)
+        _, k_pick, k_sim, k_noise = jax.random.split(k0, 4)
+        n_samples = len(null_model.mcmc_samples)
+        idx = np.asarray(jax.random.randint(k_pick, (nsims,), 0, n_samples))
+        param_samples = np.asarray(null_model.mcmc_samples)[idx]
+        gen = null_model.make_device_generator(
+            pdf, extension_factor=extension_factor, sigma_noise=sigma_noise
+        )
+
+        fitter_null = _ChunkFitter(
+            null_kernel, lightcurve.times, theta0_null, walkers=sim_walkers,
+            n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+        )
+        fitter_alt = _ChunkFitter(
+            alt_kernel, lightcurve.times, theta0_alt, walkers=sim_walkers,
+            n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+        )
+        obs_y = jnp.asarray(np.asarray(lightcurve.y, dtype=np.float64))[None, :]
+        obs_dy = jnp.asarray(dy_obs)[None, :]
+        t64 = jnp.asarray(lightcurve.times, dtype=jnp.float64)
+
+        n_rows = nsims + (1 if matched_estimator else 0)
+        n_chunks = max(1, -(-n_rows // chunk))
+        n_gen = max(1, -(-nsims // chunk)) if nsims else 0
+        k_sims = jax.random.split(k_sim, max(1, n_gen))
+        k_noises = jax.random.split(k_noise, max(1, n_gen))
+        k_fit = jax.random.split(jax.random.fold_in(key, 7), 2 * n_chunks)
+
+        def _pad_dev(arrs, rem, nb):
+            pidx = np.arange(rem) % nb
+            return [jnp.concatenate([a, a[pidx]]) for a in arrs]
+
+        null_parts, alt_parts = [], []
+        for ci in range(n_chunks):
+            s0 = ci * chunk
+            count = max(0, min((ci + 1) * chunk, nsims) - s0)
+            if count:
+                thetas_c = param_samples[s0 : s0 + count]
+                if n_chunks > 1 and count < chunk:
+                    # pad the generation batch to the full chunk so the
+                    # generation program keeps ONE shape; slice after
+                    pidx = np.arange(chunk - count) % count
+                    thetas_c = np.concatenate([thetas_c, thetas_c[pidx]])
+                rates, dys = gen(k_sims[ci], k_noises[ci], thetas_c)
+                if rates.shape[0] != count:
+                    rates, dys = rates[:count], dys[:count]
+                if matched_estimator and ci == n_chunks - 1:
+                    rates = jnp.concatenate([rates, obs_y.astype(rates.dtype)])
+                    dys = jnp.concatenate([dys, obs_dy.astype(dys.dtype)])
+            else:  # an obs-only final chunk (nsims a multiple of chunk)
+                rates, dys = obs_y, obs_dy
+            nb = rates.shape[0]
+            diag = _square_err(dys)
+            nl, nx = fitter_null.fit_chunk(k_fit[2 * ci], rates, diag, total=n_rows)
+            al, ax = fitter_alt.fit_chunk(k_fit[2 * ci + 1], rates, diag, total=n_rows)
+            if refine_f64:
+                rem = fitter_null.pad_rows(nb, n_rows)
+                if rem:
+                    rates_p, dys_p, nx, ax = _pad_dev([rates, dys, nx, ax], rem, nb)
+                else:
+                    rates_p, dys_p = rates, dys
+                nl = _f64_logprob_chunk_from_dy(nx, t64, rates_p, dys_p, kernel=null_kernel)[:nb]
+                al = _f64_logprob_chunk_from_dy(ax, t64, rates_p, dys_p, kernel=alt_kernel)[:nb]
+            null_parts.append(np.asarray(nl, dtype=np.float64))
+            alt_parts.append(np.asarray(al, dtype=np.float64))
+        null_lls = np.concatenate(null_parts)
+        alt_lls = np.concatenate(alt_parts)
+        if matched_estimator:
+            ll0_obs, ll1_obs = null_lls[-1], alt_lls[-1]
+            null_lls, alt_lls = null_lls[:-1], alt_lls[:-1]
 
     # 4. T distribution and p-values (reference nb: percentileofscore)
     t_dist = -2.0 * (null_lls - alt_lls)
