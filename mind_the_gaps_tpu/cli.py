@@ -158,7 +158,14 @@ def main(argv=None):
         p.add_argument("--max-steps", type=int, default=10000)
         p.add_argument("--walkers", type=int, default=32)
         p.add_argument("--seed", type=int, default=0)
-        p.add_argument("--fast", action="store_true", help="f32 Pallas sampler (TPU)")
+        p.add_argument(
+            "--fast", action="store_true", default=None,
+            help="force the f32 Pallas sampler (default: auto — on for TPU backends)",
+        )
+        p.add_argument(
+            "--no-fast", dest="fast", action="store_false",
+            help="force the f64 XLA sampler",
+        )
         p.add_argument("--progress", action="store_true")
 
     p = sub.add_parser("fit", help="MCMC posteriors for one kernel")

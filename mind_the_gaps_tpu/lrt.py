@@ -449,7 +449,7 @@ def protassov_lrt(
     alt_model: Optional[GPModelling] = None,
     progress: bool = False,
     matched_estimator: bool = True,
-    observed_fast: bool = False,
+    observed_fast: Optional[bool] = None,
     keep_simulations: bool = False,
 ) -> LRTResult:
     """Run the full Protassov LRT (SURVEY.md §3.4) end to end.
