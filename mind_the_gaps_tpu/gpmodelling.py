@@ -987,6 +987,13 @@ class GPModelling:
             rates = simulator.simulate_batch(k_sim, psd_values)
             return simulator.add_noise_batch(k_noise, rates)
 
+        if pdf.lower() == "gaussian":
+            # the whole TK95 chunk (PSD eval -> spectral draw -> cut ->
+            # downsample -> noise) fuses into ONE device program: a
+            # remote runtime pays per-dispatch latency, and the Gaussian
+            # path has no data-dependent host loop (E13's lock-step
+            # while-loop keeps its internal chunking)
+            return jax.jit(gen)
         return gen
 
     def generate_batch_from_posteriors(

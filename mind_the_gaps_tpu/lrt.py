@@ -611,10 +611,13 @@ def protassov_lrt(
                     rates_p, dys_p = rates, dys
                 nl = _f64_logprob_chunk_from_dy(nx, t64, rates_p, dys_p, kernel=null_kernel)[:nb]
                 al = _f64_logprob_chunk_from_dy(ax, t64, rates_p, dys_p, kernel=alt_kernel)[:nb]
-            null_parts.append(np.asarray(nl, dtype=np.float64))
-            alt_parts.append(np.asarray(al, dtype=np.float64))
-        null_lls = np.concatenate(null_parts)
-        alt_lls = np.concatenate(alt_parts)
+            # keep results on device: fetching here would sync the
+            # pipeline every chunk; deferring lets the device queue run
+            # generation/fits/refinement of later chunks back to back
+            null_parts.append(nl)
+            alt_parts.append(al)
+        null_lls = np.concatenate([np.asarray(x, dtype=np.float64) for x in null_parts])
+        alt_lls = np.concatenate([np.asarray(x, dtype=np.float64) for x in alt_parts])
         if matched_estimator:
             ll0_obs, ll1_obs = null_lls[-1], alt_lls[-1]
             null_lls, alt_lls = null_lls[:-1], alt_lls[:-1]
