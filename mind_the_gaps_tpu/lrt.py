@@ -69,12 +69,7 @@ def loglikes_f64_at(kernel, times, ys, dys, thetas, chunk: int = 4096):
     for start in range(0, B, chunk):
         yb, db, xb = ys[start : start + chunk], diags[start : start + chunk], thetas[start : start + chunk]
         nb = yb.shape[0]
-        rem = chunk - nb
-        if rem:
-            pad_idx = np.arange(rem) % nb
-            yb = np.concatenate([yb, yb[pad_idx]])
-            db = np.concatenate([db, db[pad_idx]])
-            xb = np.concatenate([xb, xb[pad_idx]])
+        yb, db, xb = _pad_cyclic([yb, db, xb], chunk - nb)
         ll = _f64_logprob_chunk(jnp.asarray(xb), t64, jnp.asarray(yb), jnp.asarray(db), kernel=kernel)
         out.append(np.asarray(ll)[:nb])
     return np.concatenate(out) if out else np.empty((0,))
@@ -103,6 +98,26 @@ def _f64_logprob_chunk_from_dy(thetas, t, ys, dys, *, kernel):
 
 
 _square_err = jax.jit(lambda d: (d + 1e-12) ** 2)
+
+# generation stays capped at this batch regardless of the fit chunk: the
+# unchunked batched FFT pipeline has crashed the TPU worker, and the PSD
+# batch alone is ~1 GB f64 at large B (gpmodelling gen_chunk rationale)
+_GEN_CAP = 512
+
+
+def _pad_cyclic(arrs, rem: int):
+    """Cyclically pad each (nb, ...) array by ``rem`` rows (rem may
+    exceed nb); numpy stays numpy, device arrays stay on device."""
+    if rem <= 0:
+        return list(arrs)
+    nb = arrs[0].shape[0]
+    pidx = np.arange(rem) % nb
+    return [
+        np.concatenate([a, a[pidx]])
+        if isinstance(a, np.ndarray)
+        else jnp.concatenate([a, a[pidx]])
+        for a in arrs
+    ]
 
 
 def percentile_of_score(dist, score) -> float:
@@ -170,13 +185,10 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
                 # half=8, N=5k).  Round 3, packed-symmetric kernel body:
                 # tile 2048 / tb 512 gives 440-500k evals/s (1024 is
                 # within noise; the round-2 dense body peaked at 318k).
-                # tile must keep tile/repeats a multiple of 128 (Mosaic
-                # block rule) and divide the batch; ragged chunks fall
-                # back, and pallas reduces to a valid tile itself.
-                bt = thetas.shape[0]
+                # pallas_log_likelihood reduces the tile itself whenever
+                # this preference does not divide the batch / violate
+                # the Mosaic block rules (ragged chunk remainders).
                 tile = max(2048, half * 128)
-                if bt % tile:
-                    tile = 2048
                 coeffs = jax.vmap(kernel.coefficients)(thetas)
                 lp = jax.vmap(kernel.log_prior)(thetas)
                 jitter = jax.vmap(kernel.jitter)(thetas)
@@ -329,28 +341,29 @@ class _ChunkFitter:
     def pad_rows(self, nb: int, total: Optional[int] = None) -> int:
         """Rows of cyclic padding for a chunk of nb lightcurves.
 
-        A ragged last chunk of a multi-chunk run is padded all the way
-        up to the full chunk size: the whole bootstrap then reuses ONE
-        compiled executable (a second program shape costs far more in
-        remote-compile time than the wasted pad rows cost in compute).
+        On the Pallas (remote-compile) path, a ragged last chunk of a
+        multi-chunk run is padded all the way up to the full chunk size:
+        the whole bootstrap then reuses ONE compiled executable (a
+        second program shape costs far more in remote-compile time than
+        the wasted pad rows cost in compute).  On cheap-compile backends
+        (g_align == 1) only the alignment padding applies — padding a
+        1-row remainder to 512 rows of 500-step MCMC there would nearly
+        double the work for nothing.
         """
         align = self.g_align * (self.n_dev if self.mesh is not None else 1)
-        if (total or nb) > self.chunk and nb < self.chunk and self.chunk % align == 0:
+        if (
+            self.g_align > 1
+            and (total or nb) > self.chunk
+            and nb < self.chunk
+            and self.chunk % align == 0
+        ):
             return self.chunk - nb
         return (-nb) % align
 
     def fit_chunk(self, key, yb, db, total: Optional[int] = None):
         """(nb, N) data + VARIANCE diagonal -> (lls (nb,), xs (nb, D))."""
         nb = yb.shape[0]
-        rem = self.pad_rows(nb, total)
-        if rem:
-            pad_idx = np.arange(rem) % nb  # cyclic (rem may exceed nb)
-            if isinstance(yb, np.ndarray):
-                yb = np.concatenate([yb, yb[pad_idx]])
-                db = np.concatenate([db, db[pad_idx]])
-            else:
-                yb = jnp.concatenate([yb, yb[pad_idx]])
-                db = jnp.concatenate([db, db[pad_idx]])
+        yb, db = _pad_cyclic([yb, db], self.pad_rows(nb, total))
         if self.mesh is not None:
             yb = shard_batch(jnp.asarray(yb), self.mesh)
             db = shard_batch(jnp.asarray(db), self.mesh)
@@ -455,7 +468,7 @@ def protassov_lrt(
     """Run the full Protassov LRT (SURVEY.md §3.4) end to end.
 
     Pass pre-fit ``null_model``/``alt_model`` (with posteriors derived) to
-    skip step 1.
+    skip step 1.  ``nsims`` must be >= 1.
 
     ``keep_simulations`` (default False): materialize every simulated
     lightcurve on the host and return them in ``LRTResult.sim_rates`` /
@@ -474,6 +487,8 @@ def protassov_lrt(
     posterior-chain T and its p-value are still reported as
     ``t_obs_posterior`` / ``p_value_posterior`` for reference parity.
     """
+    if nsims < 1:
+        raise ValueError("nsims must be >= 1 (the p-value is the tail fraction of the simulated T distribution)")
     key = jax.random.key(seed)
 
     # 1. observed fits
@@ -576,9 +591,23 @@ def protassov_lrt(
         k_noises = jax.random.split(k_noise, max(1, n_gen))
         k_fit = jax.random.split(jax.random.fold_in(key, 7), 2 * n_chunks)
 
-        def _pad_dev(arrs, rem, nb):
-            pidx = np.arange(rem) % nb
-            return [jnp.concatenate([a, a[pidx]]) for a in arrs]
+        def gen_capped(ks, kn, thetas_c):
+            # keep every generation dispatch <= _GEN_CAP rows even when
+            # the FIT chunk is larger (big-B FFT/sort programs have
+            # crashed the TPU worker; see generate_batch_from_posteriors)
+            b = thetas_c.shape[0]
+            if b <= _GEN_CAP:
+                return gen(ks, kn, thetas_c)
+            sub_ks = jax.random.split(ks, -(-b // _GEN_CAP))
+            sub_kn = jax.random.split(kn, len(sub_ks))
+            parts = [
+                gen(sub_ks[i], sub_kn[i], thetas_c[s : s + _GEN_CAP])
+                for i, s in enumerate(range(0, b, _GEN_CAP))
+            ]
+            return (
+                jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]),
+            )
 
         null_parts, alt_parts = [], []
         for ci in range(n_chunks):
@@ -591,7 +620,7 @@ def protassov_lrt(
                     # generation program keeps ONE shape; slice after
                     pidx = np.arange(chunk - count) % count
                     thetas_c = np.concatenate([thetas_c, thetas_c[pidx]])
-                rates, dys = gen(k_sims[ci], k_noises[ci], thetas_c)
+                rates, dys = gen_capped(k_sims[ci], k_noises[ci], thetas_c)
                 if rates.shape[0] != count:
                     rates, dys = rates[:count], dys[:count]
                 if matched_estimator and ci == n_chunks - 1:
@@ -605,10 +634,7 @@ def protassov_lrt(
             al, ax = fitter_alt.fit_chunk(k_fit[2 * ci + 1], rates, diag, total=n_rows)
             if refine_f64:
                 rem = fitter_null.pad_rows(nb, n_rows)
-                if rem:
-                    rates_p, dys_p, nx, ax = _pad_dev([rates, dys, nx, ax], rem, nb)
-                else:
-                    rates_p, dys_p = rates, dys
+                rates_p, dys_p, nx, ax = _pad_cyclic([rates, dys, nx, ax], rem)
                 nl = _f64_logprob_chunk_from_dy(nx, t64, rates_p, dys_p, kernel=null_kernel)[:nb]
                 al = _f64_logprob_chunk_from_dy(ax, t64, rates_p, dys_p, kernel=alt_kernel)[:nb]
             # keep results on device: fetching here would sync the
