@@ -129,6 +129,7 @@ def cmd_lrt(args):
         observed_max_steps=args.max_steps, observed_walkers=args.walkers,
         sim_max_steps=args.sim_steps, sim_walkers=args.sim_walkers,
         seed=args.seed, progress=args.progress, observed_fast=args.fast,
+        checkpoint=args.checkpoint,
     )
     out = {
         "null": args.null,
@@ -195,6 +196,11 @@ def main(argv=None):
     p.add_argument("--sim-steps", type=int, default=500)
     p.add_argument("--sim-walkers", type=int, default=16)
     p.add_argument("--output")
+    p.add_argument(
+        "--checkpoint",
+        help=".npz bootstrap checkpoint: written per chunk; an interrupted "
+        "run resumes from the last completed chunk (exact reproduction)",
+    )
     p.set_defaults(func=cmd_lrt)
 
     args = ap.parse_args(argv)

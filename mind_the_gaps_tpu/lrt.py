@@ -22,6 +22,7 @@ is kept (O(1) memory in steps).
 from __future__ import annotations
 
 import math
+import warnings
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional
@@ -464,11 +465,22 @@ def protassov_lrt(
     matched_estimator: bool = True,
     observed_fast: Optional[bool] = None,
     keep_simulations: bool = False,
+    checkpoint: Optional[str] = None,
 ) -> LRTResult:
     """Run the full Protassov LRT (SURVEY.md §3.4) end to end.
 
     Pass pre-fit ``null_model``/``alt_model`` (with posteriors derived) to
     skip step 1.  ``nsims`` must be >= 1.
+
+    ``checkpoint``: optional .npz path for the bootstrap stage (the
+    reference's script workflow persists intermediates between stages,
+    docs/workflow.md:43-92).  Per-chunk results are written after every
+    chunk; an interrupted run resumes from the last completed chunk and
+    reproduces the uninterrupted result EXACTLY (every chunk's RNG keys
+    are precomputed from the seed, so chunks are independent).  The file
+    records a config checksum — posterior samples, data, and bootstrap
+    settings — and is ignored with a warning on mismatch.  Only the
+    device pipeline checkpoints (ignored under ``keep_simulations``).
 
     ``keep_simulations`` (default False): materialize every simulated
     lightcurve on the host and return them in ``LRTResult.sim_rates`` /
@@ -526,6 +538,8 @@ def protassov_lrt(
     sim_rates = sim_dy = None
 
     if keep_simulations:
+        if checkpoint is not None:
+            warnings.warn("checkpoint is only supported by the device pipeline; ignored with keep_simulations=True")
         # host-array path: materialize every simulation on the host
         # (returned in LRTResult.sim_rates/sim_dy)
         sim_rates, sim_dy = null_model.generate_batch_from_posteriors(
@@ -609,8 +623,44 @@ def protassov_lrt(
                 jnp.concatenate([p[1] for p in parts]),
             )
 
+        chunks_done = 0
         null_parts, alt_parts = [], []
+        ckpt_crc = None
+        if checkpoint is not None:
+            import os
+            import zlib
+
+            h = zlib.crc32(np.asarray(lightcurve.times, dtype=np.float64).tobytes())
+            h = zlib.crc32(np.asarray(lightcurve.y, dtype=np.float64).tobytes(), h)
+            h = zlib.crc32(np.ascontiguousarray(param_samples, dtype=np.float64).tobytes(), h)
+            h = zlib.crc32(
+                repr(
+                    (nsims, chunk, seed, sim_walkers, sim_max_steps, str(sim_dtype),
+                     pdf.lower(), matched_estimator, extension_factor)
+                ).encode(),
+                h,
+            )
+            ckpt_crc = h
+            if os.path.exists(checkpoint):
+                try:
+                    d = np.load(checkpoint)
+                    if int(d["config_crc"]) == ckpt_crc:
+                        chunks_done = int(d["chunks_done"])
+                        null_parts = [np.asarray(d["null_done"], dtype=np.float64)]
+                        alt_parts = [np.asarray(d["alt_done"], dtype=np.float64)]
+                        if progress:
+                            print(f"resuming bootstrap from chunk {chunks_done}/{n_chunks}")
+                    else:
+                        warnings.warn(
+                            f"checkpoint {checkpoint} was written for a different "
+                            "LRT configuration; recomputing from scratch"
+                        )
+                except Exception as exc:
+                    warnings.warn(f"unreadable checkpoint {checkpoint} ({exc}); recomputing")
+
         for ci in range(n_chunks):
+            if ci < chunks_done:
+                continue
             s0 = ci * chunk
             count = max(0, min((ci + 1) * chunk, nsims) - s0)
             if count:
@@ -637,11 +687,29 @@ def protassov_lrt(
                 rates_p, dys_p, nx, ax = _pad_cyclic([rates, dys, nx, ax], rem)
                 nl = _f64_logprob_chunk_from_dy(nx, t64, rates_p, dys_p, kernel=null_kernel)[:nb]
                 al = _f64_logprob_chunk_from_dy(ax, t64, rates_p, dys_p, kernel=alt_kernel)[:nb]
-            # keep results on device: fetching here would sync the
-            # pipeline every chunk; deferring lets the device queue run
-            # generation/fits/refinement of later chunks back to back
-            null_parts.append(nl)
-            alt_parts.append(al)
+            if checkpoint is not None:
+                # checkpointing trades the deferred-fetch pipelining for
+                # durability: sync this chunk's (tiny) results and
+                # atomically rewrite the running file
+                import os
+
+                null_parts.append(np.asarray(nl, dtype=np.float64))
+                alt_parts.append(np.asarray(al, dtype=np.float64))
+                tmp = checkpoint + ".tmp.npz"
+                np.savez(
+                    tmp,
+                    config_crc=np.int64(ckpt_crc),
+                    chunks_done=np.int64(ci + 1),
+                    null_done=np.concatenate(null_parts),
+                    alt_done=np.concatenate(alt_parts),
+                )
+                os.replace(tmp, checkpoint)
+            else:
+                # keep results on device: fetching here would sync the
+                # pipeline every chunk; deferring lets the device queue
+                # run generation/fits/refinement back to back
+                null_parts.append(nl)
+                alt_parts.append(al)
         null_lls = np.concatenate([np.asarray(x, dtype=np.float64) for x in null_parts])
         alt_lls = np.concatenate([np.asarray(x, dtype=np.float64) for x in alt_parts])
         if matched_estimator:
