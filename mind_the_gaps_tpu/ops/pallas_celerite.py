@@ -495,9 +495,10 @@ def pallas_log_likelihood(
             grouped = True
 
     G = jnp.asarray(y).shape[0] if grouped else 0
+    R_state = (R * (R + 1)) // 2 if sym else R * R
 
     def _tile_ok(tl):
-        if B % tl:
+        if tl < 1 or B % tl:
             return False
         if not grouped:
             return True
@@ -508,27 +509,65 @@ def pallas_log_likelihood(
         # or equal to the full array dimension
         return gt % _LANES == 0 or gt == G
 
-    tile = min(tile, B)
-    while not _tile_ok(tile):
-        tile //= 2
-        if tile < _LANES:
-            # last resort: one tile spanning the whole batch (gt == G is
-            # always legal); covers ragged chunk remainders like
-            # G = 272, half = 8 -> B = 2176 with no 128-aligned divisor
-            if _tile_ok(B):
-                tile = B
-                break
-            raise ValueError(
-                "no valid tile: need tile | B and, for grouped data, "
-                "repeats | tile with tile/repeats a multiple of 128 (or == G)"
-            )
-    g_tile = tile // repeats if grouped else 1
+    itemsize = jnp.dtype(dtype).itemsize
+
+    def _vmem_bytes(tl, tb_):
+        """Model of the kernel's VMEM footprint: scratch rows
+        (expanded y/diag + state + accumulators + out) x tile, the
+        streamed data blocks, and the expansion matrix.  Calibrated
+        against observed v5e compiles: 11-12 MB configs compile, the
+        25.5 MB (tile=B=6144) and 21 MB (tb=1024) ones OOM the 16 MB
+        scoped-vmem limit."""
+        gt = tl // repeats if grouped else 1
+        scratch_rows = 2 * tb_ + R_state + 2 * R + 9
+        e_rows = gt if grouped else 1
+        return (scratch_rows * tl + 2 * tb_ * gt + e_rows * tl + tb_) * itemsize
+
+    _VMEM_BUDGET = 13 * 1024 * 1024
 
     t64 = jnp.asarray(t)
     N = t64.shape[0]
     tb = min(time_block, N)
     tb -= tb % 8 or 0
     tb = max(tb, 8)
+
+    def _fits(tl, tb_):
+        return _tile_ok(tl) and (interpret or _vmem_bytes(tl, tb_) <= _VMEM_BUDGET)
+
+    def _pick_tile(tb_):
+        tl = min(tile, B)
+        while tl >= _LANES:
+            if _fits(tl, tb_):
+                return tl
+            tl //= 2
+        if grouped:
+            # group-aligned tiles (repeats * 128 * m) — the valid shapes
+            # when repeats is not a power of two (e.g. 12 walkers ->
+            # repeats 6: halving 2048 never reaches the legal 768)
+            base = repeats * _LANES
+            for m in range(min(tile, B) // max(base, 1), 0, -1):
+                cand = base * m
+                if cand <= B and _fits(cand, tb_):
+                    return cand
+        # last resort: one tile spanning the whole batch (gt == G is
+        # always legal); covers ragged chunk remainders like
+        # G = 272, half = 8 -> B = 2176 with no 128-aligned divisor
+        if _fits(B, tb_):
+            return B
+        return None
+
+    chosen = _pick_tile(tb)
+    while chosen is None and tb > 8:
+        tb = max(8, (tb // 2) - ((tb // 2) % 8))
+        chosen = _pick_tile(tb)
+    if chosen is None:
+        raise ValueError(
+            "no valid tile: need tile | B and, for grouped data, "
+            "repeats | tile with tile/repeats a multiple of 128 (or == G), "
+            "within the VMEM budget"
+        )
+    tile = chosen
+    g_tile = tile // repeats if grouped else 1
     n_blocks = -(-N // tb)
     n_pad = n_blocks * tb
     needs_mask = n_pad != N
@@ -566,7 +605,6 @@ def pallas_log_likelihood(
 
     make = _make_kernel_sym if sym else _make_kernel
     kernel = make(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile)
-    n_state = (R * (R + 1)) // 2 if sym else R * R
     grid = (B // tile, n_blocks)
 
     call = pl.pallas_call(
@@ -589,7 +627,7 @@ def pallas_log_likelihood(
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i, jb: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_state, tile), dtype),
+            pltpu.VMEM((R_state, tile), dtype),
             pltpu.VMEM((R, tile), dtype),
             pltpu.VMEM((R, tile), dtype),
             pltpu.VMEM((8, tile), dtype),
