@@ -201,9 +201,16 @@ class GPModelling:
 
         self._build_functions()
         # validate the kernel at the initial parameters (the reference's
-        # gp.compute would raise here for an invalid kernel)
-        ll0 = float(self._loglike_jit(jnp.asarray(self.initial_params)))
-        if not np.isfinite(ll0):
+        # gp.compute would raise here for an invalid kernel).  The check
+        # runs through the MAP-fit objective (CPU-offloaded on remote
+        # backends): its compile is reused by fit(), whereas the
+        # accelerator-side f64 single-eval program would be compiled
+        # here only to be abandoned by the fast sampler path.
+        th0 = jnp.asarray(self.initial_params, dtype=jnp.float64)
+        if self._map_device is not None:
+            th0 = jax.device_put(th0, self._map_device)
+        nll0, _ = self._nll_and_grad(th0)
+        if not np.isfinite(float(nll0)):
             warnings.warn("GP log-likelihood is not finite at the initial parameters")
 
     # ------------------------------------------------------------------ #

@@ -507,14 +507,14 @@ def protassov_lrt(
     if null_model is None:
         null_model = GPModelling(lightcurve, null_kernel)
         null_model.derive_posteriors(
-            max_steps=observed_max_steps, walkers=observed_walkers, progress=progress,
-            seed=seed + 101, fast=observed_fast,
+            fit=fit_observed, max_steps=observed_max_steps, walkers=observed_walkers,
+            progress=progress, seed=seed + 101, fast=observed_fast,
         )
     if alt_model is None:
         alt_model = GPModelling(lightcurve, alt_kernel)
         alt_model.derive_posteriors(
-            max_steps=observed_max_steps, walkers=observed_walkers, progress=progress,
-            seed=seed + 102, fast=observed_fast,
+            fit=fit_observed, max_steps=observed_max_steps, walkers=observed_walkers,
+            progress=progress, seed=seed + 102, fast=observed_fast,
         )
 
     t_obs = -2.0 * (null_model.max_loglikelihood - alt_model.max_loglikelihood)
