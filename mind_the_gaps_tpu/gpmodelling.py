@@ -44,6 +44,12 @@ from mind_the_gaps_tpu.solver import predict_at as solver_predict_at
 
 __all__ = ["GPModelling"]
 
+# posterior-predictive generation batch cap: at 10k sims the PSD batch
+# alone is ~1 GB f64 and the unchunked batched FFT pipeline has been
+# observed to crash the TPU worker.  lrt.py imports this so the host and
+# device LRT paths split generation keys at the same boundaries.
+GEN_CHUNK = 512
+
 _PALLAS_BACKEND_OK: Optional[bool] = None
 
 
@@ -1024,10 +1030,7 @@ class GPModelling:
         gen = self.make_device_generator(
             pdf, extension_factor=extension_factor, sigma_noise=sigma_noise
         )
-        # Chunk the whole generation: at 10k sims the PSD batch alone is
-        # ~1 GB f64 (nsims x n_fft/2 frequencies) and the unchunked
-        # batched FFT pipeline has been observed to crash the TPU worker.
-        gen_chunk = 512
+        gen_chunk = GEN_CHUNK
         k_sims = jax.random.split(k_sim, max(1, -(-nsims // gen_chunk)))
         k_noises = jax.random.split(k_noise, len(k_sims))
         noisy_out, dy_out = [], []

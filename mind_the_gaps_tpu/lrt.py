@@ -22,7 +22,9 @@ is kept (O(1) memory in steps).
 from __future__ import annotations
 
 import math
+import os
 import warnings
+import zlib
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional
@@ -32,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mind_the_gaps_tpu.gpmodelling import GPModelling
+from mind_the_gaps_tpu.gpmodelling import GEN_CHUNK, GPModelling
 from mind_the_gaps_tpu.lightcurves import GappyLightcurve
 from mind_the_gaps_tpu.parallel import default_mesh, shard_batch
 from mind_the_gaps_tpu.sampler.ensemble import max_loglike_ensemble_impl
@@ -102,8 +104,10 @@ _square_err = jax.jit(lambda d: (d + 1e-12) ** 2)
 
 # generation stays capped at this batch regardless of the fit chunk: the
 # unchunked batched FFT pipeline has crashed the TPU worker, and the PSD
-# batch alone is ~1 GB f64 at large B (gpmodelling gen_chunk rationale)
-_GEN_CAP = 512
+# batch alone is ~1 GB f64 at large B.  Shared with
+# generate_batch_from_posteriors so the host and device LRT paths split
+# their generation keys at the same boundaries (same sims per seed).
+_GEN_CAP = GEN_CHUNK
 
 
 def _pad_cyclic(arrs, rem: int):
@@ -383,8 +387,6 @@ class _ChunkFitter:
                     key, yb_j, db_j, self.theta0, self.percent
                 ).compile()
             except Exception as exc:
-                import warnings
-
                 warnings.warn(
                     "Pallas solver failed to compile on this backend "
                     f"({type(exc).__name__}: {exc}); falling back to the XLA scan solver"
@@ -599,10 +601,10 @@ def protassov_lrt(
         t64 = jnp.asarray(lightcurve.times, dtype=jnp.float64)
 
         n_rows = nsims + (1 if matched_estimator else 0)
-        n_chunks = max(1, -(-n_rows // chunk))
-        n_gen = max(1, -(-nsims // chunk)) if nsims else 0
-        k_sims = jax.random.split(k_sim, max(1, n_gen))
-        k_noises = jax.random.split(k_noise, max(1, n_gen))
+        n_chunks = -(-n_rows // chunk)
+        n_gen = -(-nsims // chunk)  # nsims >= 1 is enforced at entry
+        k_sims = jax.random.split(k_sim, n_gen)
+        k_noises = jax.random.split(k_noise, n_gen)
         k_fit = jax.random.split(jax.random.fold_in(key, 7), 2 * n_chunks)
 
         def gen_capped(ks, kn, thetas_c):
@@ -627,16 +629,31 @@ def protassov_lrt(
         null_parts, alt_parts = [], []
         ckpt_crc = None
         if checkpoint is not None:
-            import os
-            import zlib
-
+            # the checksum must cover EVERY input that changes the
+            # per-chunk results: data (times/y/dy), the null posterior
+            # draws, both kernels' starting points and bounds, and the
+            # bootstrap settings (incl. sigma_noise) — anything missing
+            # here would let a stale checkpoint resume silently
             h = zlib.crc32(np.asarray(lightcurve.times, dtype=np.float64).tobytes())
             h = zlib.crc32(np.asarray(lightcurve.y, dtype=np.float64).tobytes(), h)
+            h = zlib.crc32(dy_obs.tobytes(), h)
             h = zlib.crc32(np.ascontiguousarray(param_samples, dtype=np.float64).tobytes(), h)
+            for arr in (
+                theta0_null,
+                theta0_alt,
+                np.asarray(
+                    [(float(lo), float(hi)) for lo, hi in null_kernel.get_parameter_bounds()]
+                ),
+                np.asarray(
+                    [(float(lo), float(hi)) for lo, hi in alt_kernel.get_parameter_bounds()]
+                ),
+            ):
+                h = zlib.crc32(np.ascontiguousarray(arr, dtype=np.float64).tobytes(), h)
             h = zlib.crc32(
                 repr(
                     (nsims, chunk, seed, sim_walkers, sim_max_steps, str(sim_dtype),
-                     pdf.lower(), matched_estimator, extension_factor)
+                     pdf.lower(), matched_estimator, extension_factor,
+                     None if sigma_noise is None else float(np.mean(sigma_noise)))
                 ).encode(),
                 h,
             )
@@ -691,8 +708,6 @@ def protassov_lrt(
                 # checkpointing trades the deferred-fetch pipelining for
                 # durability: sync this chunk's (tiny) results and
                 # atomically rewrite the running file
-                import os
-
                 null_parts.append(np.asarray(nl, dtype=np.float64))
                 alt_parts.append(np.asarray(al, dtype=np.float64))
                 tmp = checkpoint + ".tmp.npz"
