@@ -21,7 +21,6 @@ is kept (O(1) memory in steps).
 """
 from __future__ import annotations
 
-import math
 import os
 import warnings
 import zlib
@@ -37,8 +36,6 @@ import jax.numpy as jnp
 from mind_the_gaps_tpu.gpmodelling import GEN_CHUNK, GPModelling
 from mind_the_gaps_tpu.lightcurves import GappyLightcurve
 from mind_the_gaps_tpu.parallel import default_mesh, shard_batch
-from mind_the_gaps_tpu.sampler.ensemble import max_loglike_ensemble_impl
-from mind_the_gaps_tpu.solver import log_likelihood as solver_log_likelihood
 
 __all__ = [
     "LRTResult",

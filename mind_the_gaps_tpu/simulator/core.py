@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import math
 import warnings
-from functools import partial
 from typing import Callable, Union
 
 import numpy as np

@@ -25,7 +25,6 @@ provided; both match the semiseparable solver at f64 parity levels.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

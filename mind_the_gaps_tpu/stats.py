@@ -12,7 +12,6 @@ Rebuild of reference mind_the_gaps/stats.py:10-195 with two tiers:
 """
 from __future__ import annotations
 
-import math
 
 import numpy as np
 from scipy import special, stats
