@@ -214,7 +214,7 @@ def _make_kernel(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: 
     return kernel
 
 
-def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: int, grouped: bool, needs_mask: bool, g_tile: int):
+def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: int, grouped: bool, needs_mask: bool, g_tile: int, unroll: int = 2):
     """Packed-symmetric variant of the kernel body: S is symmetric, so
     only its R(R+1)/2 unique entries are stored (one 8-sublane tile
     group at R=3 instead of two) and the update computes each output
@@ -222,6 +222,18 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
     product + two dense P-rotations.  TPU-measured at R=3 (DRW+QPO,
     N=5k, B=64k): 1.05M evals/s vs 504k for the dense-S body (2.09x),
     max |diff| 2e-3 (_scratch/pallas_sym_experiment.py).
+
+    Round 4 (_scratch/pallas_r4_experiment.py) restructured the serial
+    time loop, 1.41M -> 1.97M evals/s on the same problem:
+    - the per-row propagators (exp/cos/sin of the celerite recursion)
+      plus the residual r = y - mean and diagonal A = diag + k0 are
+      precomputed for the WHOLE time block as 2-D (tb, tile) vector ops
+      right after the data fill — the dependency-chained body becomes
+      pure mul-adds and row loads (+16% alone);
+    - the fori upper bound is the block's true row count (the padded
+      tail rows of a ragged N simply aren't executed) instead of a
+      per-row pl.when mask (+16%);
+    - the body is unrolled ``unroll`` time steps per fori iteration.
 
     The per-entry rows are generated by trace-time Python loops over the
     static block structure (real rows scale, complex pairs rotate), so
@@ -247,10 +259,10 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
     ]
 
     def kernel(
-        dt_ref, y_ref, diag_ref,
+        dtw_ref, y_ref, diag_ref,
         ar_ref, cr_ref, ac_ref, bc_ref, cc_ref, dc_ref, mean_ref, jit_ref, e_ref,
         out_ref,
-        S_scr, W_scr, f_scr, misc_scr, yx_scr, dx_scr,
+        S_scr, W_scr, f_scr, misc_scr, r_scr, A_scr, prop_scr,
     ):
         # misc rows: 0=D, 1=z, 2=logdet, 3=logdet_c, 4=quad, 5=quad_c, 6=ok
         j = pl.program_id(1)
@@ -263,18 +275,16 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
         dc_rows = [dc_ref[i, :] for i in range(Jc)]
         mean = mean_ref[0, :]
 
-        def fill(dst, src):
-            if grouped and g_tile == _T:
-                dst[:, :] = src[:, :]
-            else:
-                dst[:, :] = jax.lax.dot_general(
-                    src[:, :], e_ref[:, :], (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=dtype,
-                )
+        identity_fill = grouped and g_tile == _T
 
-        fill(yx_scr, y_ref)
-        fill(dx_scr, diag_ref)
+        def expand(src):
+            if identity_fill:
+                return src[:, :]
+            return jax.lax.dot_general(
+                src[:, :], e_ref[:, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )
 
         k0 = jit_ref[0, :]
         for a in ar_rows:
@@ -288,10 +298,23 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
         zeros = jnp.zeros((_T,), dtype=dtype)
         v = [ones] * Jr + [x for _ in range(Jc) for x in (ones, zeros)]
 
+        # ---- whole-block precompute: 2-D ops outside the serial loop --
+        r_scr[:, :] = expand(y_ref) - mean[None, :]
+        A_scr[:, :] = expand(diag_ref) + k0[None, :]
+        dtw = expand(dtw_ref)
+        for i in range(Jr):
+            prop_scr[i * tb : (i + 1) * tb, :] = jnp.exp(-dtw * cr_rows[i][None, :])
+        for k in range(Jc):
+            o = (Jr + 2 * k) * tb
+            ecd = jnp.exp(-dtw * cc_rows[k][None, :])
+            arg = dtw * dc_rows[k][None, :]
+            prop_scr[o : o + tb, :] = ecd * jnp.cos(arg)
+            prop_scr[o + tb : o + 2 * tb, :] = ecd * jnp.sin(arg)
+
         @pl.when(j == 0)
         def _init():
-            r0 = yx_scr[0, :] - mean
-            A0 = dx_scr[0, :] + k0
+            r0 = r_scr[0, :]
+            A0 = A_scr[0, :]
             S_scr[:, :] = jnp.zeros((nS, _T), dtype=dtype)
             for i in range(R):
                 W_scr[i, :] = v[i] / A0
@@ -304,21 +327,12 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
             misc_scr[5, :] = jnp.zeros_like(A0)
             misc_scr[6, :] = jnp.where(A0 > 0.0, jnp.ones_like(A0), jnp.zeros_like(A0))
 
-        def body(n, _):
-            valid = (j * tb + n) < N if needs_mask else True
-
-            dt_n = dt_ref[n, 0]
-            y_n = yx_scr[n, :]
-            d_n = dx_scr[n, :]
-            er = [jnp.exp(-c * dt_n) for c in cr_rows]
-            Cv, Sv = [], []
-            for k in range(Jc):
-                ecd = jnp.exp(-cc_rows[k] * dt_n)
-                arg = dc_rows[k] * dt_n
-                Cv.append(ecd * jnp.cos(arg))
-                Sv.append(ecd * jnp.sin(arg))
-            rn = y_n - mean
-            An = d_n + k0
+        def step(n):
+            er = [prop_scr[i * tb + n, :] for i in range(Jr)]
+            Cv = [prop_scr[(Jr + 2 * k) * tb + n, :] for k in range(Jc)]
+            Sv = [prop_scr[(Jr + 2 * k + 1) * tb + n, :] for k in range(Jc)]
+            rn = r_scr[n, :]
+            An = A_scr[n, :]
 
             D_prev = misc_scr[0, :]
             z_prev = misc_scr[1, :]
@@ -412,31 +426,47 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
             t2 = quad + x2
             qc_n = (t2 - quad) - x2
 
-            def _write():
-                for kk in range(nS):
-                    S_scr[kk, :] = s_new[kk]
-                for i in range(R):
-                    W_scr[i, :] = W_new[i]
-                    f_scr[i, :] = f_new[i]
-                misc_scr[0, :] = D
-                misc_scr[1, :] = z
-                misc_scr[2, :] = t1
-                misc_scr[3, :] = lc_n
-                misc_scr[4, :] = t2
-                misc_scr[5, :] = qc_n
-                misc_scr[6, :] = misc_scr[6, :] * jnp.where(
-                    D > 0.0, jnp.ones_like(D), jnp.zeros_like(D)
-                )
+            for kk in range(nS):
+                S_scr[kk, :] = s_new[kk]
+            for i in range(R):
+                W_scr[i, :] = W_new[i]
+                f_scr[i, :] = f_new[i]
+            misc_scr[0, :] = D
+            misc_scr[1, :] = z
+            misc_scr[2, :] = t1
+            misc_scr[3, :] = lc_n
+            misc_scr[4, :] = t2
+            misc_scr[5, :] = qc_n
+            misc_scr[6, :] = misc_scr[6, :] * jnp.where(
+                D > 0.0, jnp.ones_like(D), jnp.zeros_like(D)
+            )
 
-            if needs_mask:
-                pl.when(valid)(_write)
-            else:
-                _write()
-
-            return jnp.int32(0)
-
+        # dynamic trip count: the last time block of a ragged N runs only
+        # its true rows — no per-row masking in the dependency chain
+        n_hi = jnp.minimum(jnp.int32(tb), jnp.int32(N) - j * jnp.int32(tb))
         start = jnp.where(j == jnp.int32(0), jnp.int32(1), jnp.int32(0))
-        jax.lax.fori_loop(start, jnp.int32(tb), body, jnp.int32(0))
+
+        if unroll > 1:
+            def body_u(i, _):
+                n = start + unroll * i
+                for q in range(unroll):
+                    step(n + q)
+                return jnp.int32(0)
+
+            n_grp = (n_hi - start) // unroll
+            jax.lax.fori_loop(jnp.int32(0), n_grp, body_u, jnp.int32(0))
+
+            def body_tail(n, _):
+                step(n)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(start + unroll * n_grp, n_hi, body_tail, jnp.int32(0))
+        else:
+            def body(n, _):
+                step(n)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(start, n_hi, body, jnp.int32(0))
 
         ll = -0.5 * (misc_scr[4, :] + misc_scr[2, :] + N * math.log(2.0 * math.pi))
         out_ref[0, :] = jnp.where(misc_scr[6, :] > 0.5, ll, -jnp.inf)
@@ -444,11 +474,11 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "tile", "repeats", "time_block", "sym"))
+@partial(jax.jit, static_argnames=("interpret", "tile", "repeats", "time_block", "sym", "unroll"))
 def pallas_log_likelihood(
     coeffs, t, y, diag, mean=None, interpret: bool = False, tile: int = 2048,
     repeats: int = 1, extra_diag=None, time_block: int = _TIME_BLOCK,
-    sym: bool = True,
+    sym: bool = True, unroll: int = 2,
 ):
     """Batched log N(y | mean, K(theta_b)) via the Pallas kernel.
 
@@ -460,8 +490,10 @@ def pallas_log_likelihood(
     (each walker subtracts its own mean curve before the solve).
     mean / extra_diag: optional per-element (B,) vectors.
     float32 recommended on TPU (the f64 variant is CPU/interpret-only).
-    ``sym`` (default): the packed-symmetric-S kernel body (2.09x the
-    dense-S body on a v5e chip at R=3); sym=False keeps the dense body
+    ``sym`` (default): the packed-symmetric-S kernel body with
+    whole-block propagator precompute, a dynamic loop trip count and
+    ``unroll``-step body unrolling (1.97M evals/s at R=3, N=5k on a v5e
+    chip vs 504k for the dense-S body); sym=False keeps the dense body
     for comparison.
     """
     ar, cr, ac, bc, cc, dc = coeffs
@@ -512,24 +544,30 @@ def pallas_log_likelihood(
     itemsize = jnp.dtype(dtype).itemsize
 
     def _vmem_bytes(tl, tb_):
-        """Model of the kernel's VMEM footprint: scratch rows
-        (expanded y/diag + state + accumulators + out) x tile, the
-        streamed data blocks, and the expansion matrix.  Calibrated
-        against observed v5e compiles: 11-12 MB configs compile, the
-        25.5 MB (tile=B=6144) and 21 MB (tb=1024) ones OOM the 16 MB
+        """Model of the kernel's VMEM footprint: scratch rows x tile
+        (sym body: precomputed r/A + the R per-row propagator blocks +
+        state; dense body: expanded y/diag + state), the streamed data
+        blocks, and the expansion matrix.  Calibrated against observed
+        v5e compiles: 11-12 MB configs compile, the 25.5 MB
+        (tile=B=6144) and 21 MB (tb=1024) ones OOM the 16 MB
         scoped-vmem limit."""
         gt = tl // repeats if grouped else 1
-        scratch_rows = 2 * tb_ + R_state + 2 * R + 9
-        e_rows = gt if grouped else 1
-        return (scratch_rows * tl + 2 * tb_ * gt + e_rows * tl + tb_) * itemsize
+        if sym:
+            scratch_rows = (R + 2) * tb_ + R_state + 2 * R + 9
+            stream = 3 * tb_ * gt
+        else:
+            scratch_rows = 2 * tb_ + R_state + 2 * R + 9
+            stream = 2 * tb_ * gt + tb_
+        e_rows = 8 if (grouped and gt == tl) else (gt if grouped else 1)
+        return (scratch_rows * tl + stream + e_rows * tl) * itemsize
 
     _VMEM_BUDGET = 13 * 1024 * 1024
 
     t64 = jnp.asarray(t)
     N = t64.shape[0]
-    tb = min(time_block, N)
-    tb -= tb % 8 or 0
-    tb = max(tb, 8)
+    tb_pref = min(time_block, N)
+    tb_pref -= tb_pref % 8 or 0
+    tb_pref = max(tb_pref, 8)
 
     def _fits(tl, tb_):
         return _tile_ok(tl) and (interpret or _vmem_bytes(tl, tb_) <= _VMEM_BUDGET)
@@ -556,10 +594,23 @@ def pallas_log_likelihood(
             return B
         return None
 
-    chosen = _pick_tile(tb)
-    while chosen is None and tb > 8:
-        tb = max(8, (tb // 2) - ((tb // 2) % 8))
-        chosen = _pick_tile(tb)
+    # Prefer a large batch tile over a large time block: the tile
+    # amortizes the serial loop across more batch elements (measured
+    # 2048/tb128 ~ 2048/tb256 >> 1024/tb256), so scan tb downward and
+    # keep the config with the largest tile (largest tb on ties).
+    tb_cands, _c = [], tb_pref
+    while True:
+        tb_cands.append(_c)
+        if _c <= 8:
+            break
+        _c = max(8, (_c // 2) - ((_c // 2) % 8))
+    chosen, tb = None, tb_pref
+    for tb_c in tb_cands:
+        cand = _pick_tile(tb_c)
+        if cand is not None and (chosen is None or cand > chosen):
+            chosen, tb = cand, tb_c
+            if cand >= min(tile, B):
+                break
     if chosen is None:
         raise ValueError(
             "no valid tile: need tile | B and, for grouped data, "
@@ -585,7 +636,12 @@ def pallas_log_likelihood(
 
     y2 = pad_series(y, 0.0)
     d2 = pad_series(diag, 1.0)
-    if grouped:
+    identity_fill = grouped and g_tile == tile
+    if identity_fill:
+        # the kernel never reads E on the identity path — a dummy keeps
+        # the (g_tile, tile) = (tile, tile) matrix out of VMEM
+        E = jnp.zeros((8, tile), dtype=dtype)
+    elif grouped:
         eye = jnp.eye(g_tile, dtype=dtype)
         E = jnp.repeat(eye, repeats, axis=1)  # (g_tile, tile)
     else:
@@ -604,15 +660,39 @@ def pallas_log_likelihood(
         return pl.BlockSpec((tb, width), lambda i, jb: (jb, 0 if width == 1 else i), memory_space=pltpu.VMEM)
 
     make = _make_kernel_sym if sym else _make_kernel
-    kernel = make(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile)
+    if sym:
+        kernel = make(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile, unroll=unroll)
+    else:
+        kernel = make(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile)
     grid = (B // tile, n_blocks)
+
+    if sym:
+        # the sym body precomputes whole-block propagators from a WIDE
+        # dt (one (n_pad, g_tile) block column shared by every tile);
+        # per-row scratch holds r = y - mean, A = diag + k0 and the R
+        # propagator row blocks instead of raw y/diag
+        gw = max(g_tile, 1)
+        dt_arg = jnp.broadcast_to(dt, (n_pad, gw))
+        dt_spec = pl.BlockSpec((tb, gw), lambda i, jb: (jb, 0), memory_space=pltpu.VMEM)
+        data_scratch = [
+            pltpu.VMEM((tb, tile), dtype),      # r = y - mean
+            pltpu.VMEM((tb, tile), dtype),      # A = diag + k0
+            pltpu.VMEM((R * tb, tile), dtype),  # propagator rows
+        ]
+    else:
+        dt_arg = dt
+        dt_spec = bspec_series(1)
+        data_scratch = [
+            pltpu.VMEM((tb, tile), dtype),  # expanded y
+            pltpu.VMEM((tb, tile), dtype),  # expanded diag
+        ]
 
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), dtype),
         grid=grid,
         in_specs=[
-            bspec_series(1),  # dt
+            dt_spec,  # dt (wide for the sym body, narrow for the dense)
             bspec_series(g_tile if grouped else 1),  # y
             bspec_series(g_tile if grouped else 1),  # diag
             bspec_coeff(Jr),
@@ -631,14 +711,13 @@ def pallas_log_likelihood(
             pltpu.VMEM((R, tile), dtype),
             pltpu.VMEM((R, tile), dtype),
             pltpu.VMEM((8, tile), dtype),
-            pltpu.VMEM((tb, tile), dtype),  # expanded y
-            pltpu.VMEM((tb, tile), dtype),  # expanded diag
-        ],
+        ]
+        + data_scratch,
         interpret=interpret,
     )
 
     args = (
-        dt,
+        dt_arg,
         y2,
         d2,
         _pad_j(ar.T, Jr, B, dtype),
