@@ -306,6 +306,12 @@ class _ChunkFitter:
     LRT pipeline (``protassov_lrt``) drive identical programs.  Inputs
     to ``fit_chunk`` may be numpy arrays or device arrays — device
     arrays are padded with jnp ops and never round-trip the host.
+
+    ``precompile_async`` starts the chunk program's AOT compile on a
+    worker thread: on a remote-compile runtime the null and alternative
+    fitters' compiles (the LRT's largest cold-start cost) then overlap
+    each other and the generation program's compile instead of
+    serializing.
     """
 
     def __init__(
@@ -314,6 +320,7 @@ class _ChunkFitter:
     ):
         self.chunk = chunk
         self.percent = percent
+        self.n_points = int(np.shape(times)[0])
         self.theta0 = jnp.asarray(theta0, dtype=jnp.float64)
         use_pallas = backend == "pallas" or (
             backend == "auto"
@@ -339,6 +346,8 @@ class _ChunkFitter:
         # kernel needs (G*half) % 128 == 0, and G % 128 == 0 additionally
         # guarantees the swept tile divides every chunk.
         self.g_align = 128 if use_pallas else 1
+        self._execs = {}
+        self._pending = None
 
     def pad_rows(self, nb: int, total: Optional[int] = None) -> int:
         """Rows of cyclic padding for a chunk of nb lightcurves.
@@ -362,35 +371,74 @@ class _ChunkFitter:
             return self.chunk - nb
         return (-nb) % align
 
-    def fit_chunk(self, key, yb, db, total: Optional[int] = None):
-        """(nb, N) data + VARIANCE diagonal -> (lls (nb,), xs (nb, D))."""
-        nb = yb.shape[0]
-        yb, db = _pad_cyclic([yb, db], self.pad_rows(nb, total))
+    def _prep(self, yb, db, total: Optional[int]):
+        yb, db = _pad_cyclic([yb, db], self.pad_rows(yb.shape[0], total))
         if self.mesh is not None:
             yb = shard_batch(jnp.asarray(yb), self.mesh)
             db = shard_batch(jnp.asarray(db), self.mesh)
-        yb_j, db_j = jnp.asarray(yb), jnp.asarray(db)
-        exec_fn = self.runner
-        if self._runner_fallback is not None:
-            # Gate the Pallas path on an explicit ahead-of-time compile:
-            # Mosaic being unavailable / failing to lower is a
-            # compile-time condition, and only that may trigger the XLA
-            # fallback.  Runtime errors (OOM, bad values) from the
-            # compiled program must propagate, not be swallowed as a
-            # silent 2.4x slowdown.  The AOT executable is used directly
-            # for this chunk so the compile is not paid twice.
-            try:
-                exec_fn = self.runner.lower(
-                    key, yb_j, db_j, self.theta0, self.percent
-                ).compile()
-            except Exception as exc:
-                warnings.warn(
-                    "Pallas solver failed to compile on this backend "
-                    f"({type(exc).__name__}: {exc}); falling back to the XLA scan solver"
-                )
-                self.runner = self._runner_fallback
-                exec_fn = self.runner
-            self._runner_fallback = None
+        return jnp.asarray(yb), jnp.asarray(db)
+
+    def _exec_for(self, key, yb_j, db_j):
+        """AOT executable for this input shape/dtype, memoized — every
+        chunk of a run reuses one in-memory executable instead of
+        re-resolving through the jit/persistent-cache path.
+
+        The FIRST compile doubles as the Pallas -> XLA fallback gate:
+        Mosaic being unavailable / failing to lower is a compile-time
+        condition, and only that may trigger the fallback.  Runtime
+        errors (OOM, bad values) from the compiled program must
+        propagate, not be swallowed as a silent 2.4x slowdown.  Returns
+        None after a gate fallback (callers then use the jitted XLA
+        runner directly)."""
+        sig = (yb_j.shape, str(yb_j.dtype))
+        if sig in self._execs:
+            return self._execs[sig]
+        first = self._runner_fallback is not None
+        try:
+            ex = self.runner.lower(key, yb_j, db_j, self.theta0, self.percent).compile()
+        except Exception as exc:
+            if not first:
+                raise
+            warnings.warn(
+                "Pallas solver failed to compile on this backend "
+                f"({type(exc).__name__}: {exc}); falling back to the XLA scan solver"
+            )
+            self.runner = self._runner_fallback
+            ex = None
+        self._runner_fallback = None
+        self._execs[sig] = ex
+        return ex
+
+    def precompile_async(self, executor, total: Optional[int] = None):
+        """Start the canonical full-chunk AOT compile on a worker thread.
+
+        On a remote-compile runtime the chunk programs are the LRT's
+        dominant cold-start cost; compiling the null and alternative
+        fitters concurrently (and overlapping the generation program's
+        compile in the main thread) removes most of it.  ``fit_chunk``
+        joins the pending compile before running, so worker-thread
+        errors surface at the call site."""
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+        def work():
+            nb = min(self.chunk, max(int(total or self.chunk), 1))
+            yb = np.zeros((nb, self.n_points), dtype=dtype)
+            db = np.ones((nb, self.n_points), dtype=dtype)
+            yb_j, db_j = self._prep(yb, db, total)
+            self._exec_for(jax.random.key(0), yb_j, db_j)
+
+        self._pending = executor.submit(work)
+
+    def fit_chunk(self, key, yb, db, total: Optional[int] = None):
+        """(nb, N) data + VARIANCE diagonal -> (lls (nb,), xs (nb, D))."""
+        nb = yb.shape[0]
+        yb_j, db_j = self._prep(yb, db, total)
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+        exec_fn = self._exec_for(key, yb_j, db_j)
+        if exec_fn is None:
+            exec_fn = self.runner
         lls, xs = exec_fn(key, yb_j, db_j, self.theta0, self.percent)
         return lls[:nb], xs[:nb]
 
@@ -502,19 +550,36 @@ def protassov_lrt(
         raise ValueError("nsims must be >= 1 (the p-value is the tail fraction of the simulated T distribution)")
     key = jax.random.key(seed)
 
-    # 1. observed fits
-    if null_model is None:
+    # 1. observed fits.  When both models need deriving they run on two
+    # threads: the two segment programs' compiles — the LRT's largest
+    # truly-cold cost on a remote-compile runtime — then overlap, and so
+    # do each model's per-segment device executions (the convergence
+    # loop's host check otherwise serializes two independent chains).
+    # Results are identical to the sequential order: each model owns its
+    # RNG stream (seed+101 / seed+102).
+    obs_kwargs = dict(
+        fit=fit_observed, max_steps=observed_max_steps, walkers=observed_walkers,
+        progress=progress, fast=observed_fast,
+    )
+    if null_model is None and alt_model is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from mind_the_gaps_tpu.gpmodelling import _pallas_backend_ok
+
+        _pallas_backend_ok()  # resolve the process-wide probe un-raced
         null_model = GPModelling(lightcurve, null_kernel)
-        null_model.derive_posteriors(
-            fit=fit_observed, max_steps=observed_max_steps, walkers=observed_walkers,
-            progress=progress, seed=seed + 101, fast=observed_fast,
-        )
-    if alt_model is None:
         alt_model = GPModelling(lightcurve, alt_kernel)
-        alt_model.derive_posteriors(
-            fit=fit_observed, max_steps=observed_max_steps, walkers=observed_walkers,
-            progress=progress, seed=seed + 102, fast=observed_fast,
-        )
+        with ThreadPoolExecutor(2) as pool:
+            f_null = pool.submit(null_model.derive_posteriors, seed=seed + 101, **obs_kwargs)
+            f_alt = pool.submit(alt_model.derive_posteriors, seed=seed + 102, **obs_kwargs)
+            f_null.result()
+            f_alt.result()
+    elif null_model is None:
+        null_model = GPModelling(lightcurve, null_kernel)
+        null_model.derive_posteriors(seed=seed + 101, **obs_kwargs)
+    elif alt_model is None:
+        alt_model = GPModelling(lightcurve, alt_kernel)
+        alt_model.derive_posteriors(seed=seed + 102, **obs_kwargs)
 
     t_obs = -2.0 * (null_model.max_loglikelihood - alt_model.max_loglikelihood)
 
@@ -593,11 +658,20 @@ def protassov_lrt(
             alt_kernel, lightcurve.times, theta0_alt, walkers=sim_walkers,
             n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
         )
+        n_rows = nsims + (1 if matched_estimator else 0)
+        from concurrent.futures import ThreadPoolExecutor
+
+        compile_pool = ThreadPoolExecutor(2)
+        # both chunk-fitter compiles start NOW on worker threads; the
+        # main thread proceeds to compile+run the generation program, so
+        # all three cold compiles overlap.  fit_chunk joins the futures.
+        fitter_null.precompile_async(compile_pool, n_rows)
+        fitter_alt.precompile_async(compile_pool, n_rows)
+        compile_pool.shutdown(wait=False)
         obs_y = jnp.asarray(np.asarray(lightcurve.y, dtype=np.float64))[None, :]
         obs_dy = jnp.asarray(dy_obs)[None, :]
         t64 = jnp.asarray(lightcurve.times, dtype=jnp.float64)
 
-        n_rows = nsims + (1 if matched_estimator else 0)
         n_chunks = -(-n_rows // chunk)
         n_gen = -(-nsims // chunk)  # nsims >= 1 is enforced at entry
         k_sims = jax.random.split(k_sim, n_gen)
