@@ -214,7 +214,7 @@ def _make_kernel(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: 
     return kernel
 
 
-def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: int, grouped: bool, needs_mask: bool, g_tile: int, unroll: int = 2):
+def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, tile: int, grouped: bool, needs_mask: bool, g_tile: int, unroll: int = 4, carry: bool = True):
     """Packed-symmetric variant of the kernel body: S is symmetric, so
     only its R(R+1)/2 unique entries are stored (one 8-sublane tile
     group at R=3 instead of two) and the update computes each output
@@ -327,23 +327,38 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
             misc_scr[5, :] = jnp.zeros_like(A0)
             misc_scr[6, :] = jnp.where(A0 > 0.0, jnp.ones_like(A0), jnp.zeros_like(A0))
 
-        def step(n):
+        def step(n, st=None):
+            """One time step.  ``st=None``: state lives in scratch (the
+            write-back form).  ``st`` a tuple: state rides the fori
+            carry — it stays in vector registers across iterations and
+            scratch is touched only at block boundaries (measured +8%
+            at R=3; see the wrapper's carry heuristic)."""
             er = [prop_scr[i * tb + n, :] for i in range(Jr)]
             Cv = [prop_scr[(Jr + 2 * k) * tb + n, :] for k in range(Jc)]
             Sv = [prop_scr[(Jr + 2 * k + 1) * tb + n, :] for k in range(Jc)]
             rn = r_scr[n, :]
             An = A_scr[n, :]
 
-            D_prev = misc_scr[0, :]
-            z_prev = misc_scr[1, :]
-            W = [W_scr[i, :] for i in range(R)]
-            f = [f_scr[i, :] for i in range(R)]
+            if st is None:
+                D_prev = misc_scr[0, :]
+                z_prev = misc_scr[1, :]
+                W = [W_scr[i, :] for i in range(R)]
+                f = [f_scr[i, :] for i in range(R)]
+                s_prev = [S_scr[kk, :] for kk in range(nS)]
+                logdet, lc_ = misc_scr[2, :], misc_scr[3, :]
+                quad, qc_ = misc_scr[4, :], misc_scr[5, :]
+                okp = misc_scr[6, :]
+            else:
+                s_prev = list(st[0:nS])
+                W = list(st[nS : nS + R])
+                f = list(st[nS + R : nS + 2 * R])
+                (D_prev, z_prev, logdet, lc_, quad, qc_, okp) = st[nS + 2 * R :]
 
             # M = S + D_prev W W^T (packed)
             m = {}
             for i in range(R):
                 for jj in range(i, R):
-                    m[(i, jj)] = S_scr[sidx(i, jj), :] + D_prev * W[i] * W[jj]
+                    m[(i, jj)] = s_prev[sidx(i, jj)] + D_prev * W[i] * W[jj]
 
             def M(i, jj):
                 return m[(i, jj)] if i <= jj else m[(jj, i)]
@@ -417,14 +432,18 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
                 uf = uf + u[i] * f_new[i]
             z = rn - uf
 
-            logdet, lc_ = misc_scr[2, :], misc_scr[3, :]
-            quad, qc_ = misc_scr[4, :], misc_scr[5, :]
             x1 = jnp.log(jnp.abs(D)) - lc_
             t1 = logdet + x1
             lc_n = (t1 - logdet) - x1
             x2 = z * z * Dinv - qc_
             t2 = quad + x2
             qc_n = (t2 - quad) - x2
+            ok_n = okp * jnp.where(D > 0.0, jnp.ones_like(D), jnp.zeros_like(D))
+
+            if st is not None:
+                return tuple(s_new) + tuple(W_new) + tuple(f_new) + (
+                    D, z, t1, lc_n, t2, qc_n, ok_n,
+                )
 
             for kk in range(nS):
                 S_scr[kk, :] = s_new[kk]
@@ -437,16 +456,39 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
             misc_scr[3, :] = lc_n
             misc_scr[4, :] = t2
             misc_scr[5, :] = qc_n
-            misc_scr[6, :] = misc_scr[6, :] * jnp.where(
-                D > 0.0, jnp.ones_like(D), jnp.zeros_like(D)
-            )
+            misc_scr[6, :] = ok_n
 
         # dynamic trip count: the last time block of a ragged N runs only
         # its true rows — no per-row masking in the dependency chain
         n_hi = jnp.minimum(jnp.int32(tb), jnp.int32(N) - j * jnp.int32(tb))
         start = jnp.where(j == jnp.int32(0), jnp.int32(1), jnp.int32(0))
 
-        if unroll > 1:
+        if carry:
+            st0 = tuple(S_scr[kk, :] for kk in range(nS)) + tuple(
+                W_scr[i, :] for i in range(R)
+            ) + tuple(f_scr[i, :] for i in range(R)) + tuple(
+                misc_scr[q, :] for q in range(7)
+            )
+            if unroll > 1:
+                def body_u(i, s):
+                    n = start + unroll * i
+                    for q in range(unroll):
+                        s = step(n + q, s)
+                    return s
+
+                n_grp = (n_hi - start) // unroll
+                st = jax.lax.fori_loop(jnp.int32(0), n_grp, body_u, st0)
+                st = jax.lax.fori_loop(start + unroll * n_grp, n_hi, step, st)
+            else:
+                st = jax.lax.fori_loop(start, n_hi, step, st0)
+            for kk in range(nS):
+                S_scr[kk, :] = st[kk]
+            for i in range(R):
+                W_scr[i, :] = st[nS + i]
+                f_scr[i, :] = st[nS + R + i]
+            for q in range(7):
+                misc_scr[q, :] = st[nS + 2 * R + q]
+        elif unroll > 1:
             def body_u(i, _):
                 n = start + unroll * i
                 for q in range(unroll):
@@ -478,7 +520,7 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
 def pallas_log_likelihood(
     coeffs, t, y, diag, mean=None, interpret: bool = False, tile: int = 2048,
     repeats: int = 1, extra_diag=None, time_block: int = _TIME_BLOCK,
-    sym: bool = True, unroll: int = 2,
+    sym: bool = True, unroll: int = 4,
 ):
     """Batched log N(y | mean, K(theta_b)) via the Pallas kernel.
 
@@ -661,7 +703,17 @@ def pallas_log_likelihood(
 
     make = _make_kernel_sym if sym else _make_kernel
     if sym:
-        kernel = make(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile, unroll=unroll)
+        # carry the recursion state through the fori loop (vregs) when
+        # it fits the register file; R=3 at tile 2048 is 19 carries x 2
+        # vregs = 38 live vregs (+8% measured), R=6 at tile 2048 would
+        # be 80 -> spill, keep it in scratch there
+        nS_ = R * (R + 1) // 2
+        n_carry = nS_ + 2 * R + 7
+        use_carry = n_carry * max(tile // 1024, 1) <= 48
+        kernel = make(
+            Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile,
+            unroll=unroll, carry=use_carry,
+        )
     else:
         kernel = make(Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile)
     grid = (B // tile, n_blocks)
