@@ -709,7 +709,10 @@ def pallas_log_likelihood(
         # be 80 -> spill, keep it in scratch there
         nS_ = R * (R + 1) // 2
         n_carry = nS_ + 2 * R + 7
-        use_carry = n_carry * max(tile // 1024, 1) <= 48
+        # tile=128 carries are single-vreg rows, which SIGABRT the
+        # Mosaic compiler for the real-terms-only (Jc=0) body — gate
+        # carry to tile >= 256 (probe shapes stay on the scratch form)
+        use_carry = tile >= 256 and n_carry * max(tile // 1024, 1) <= 48
         kernel = make(
             Jr, Jc, N, n_blocks, tb, dtype, tile, grouped, needs_mask, g_tile,
             unroll=unroll, carry=use_carry,
