@@ -104,7 +104,11 @@ def integrated_autocorr_time_masked(chain_buf, n_valid, c: float = 5.0):
     x = jnp.where(mask, chain_buf - xmean[None], 0.0).astype(jnp.float32)
     m = 2 * _next_pow_two(s)
     f = jnp.fft.fft(x, n=m, axis=0)
-    acf = jnp.fft.ifft(f * jnp.conj(f), axis=0)[:s].real.astype(chain_buf.dtype)
+    # the whole tau pipeline stays float32: the estimate drives a
+    # convergence heuristic, and an f64 cumsum over (s, d) takes ~110 s
+    # to compile through the TPU f64 emulation (measured; f32 is 0.6 s)
+    # — it was the bulk of the per-kernel segment-program compile
+    acf = jnp.fft.ifft(f * jnp.conj(f), axis=0)[:s].real
     norm = acf[:1]
     dead = ~(norm > 0)  # constant (stuck) walkers: treat as fully correlated
     acf = jnp.where(dead, 1.0, acf / jnp.where(dead, 1.0, norm))
@@ -116,7 +120,7 @@ def integrated_autocorr_time_masked(chain_buf, n_valid, c: float = 5.0):
         window = jnp.where(jnp.any(crossed), jnp.argmax(crossed), n_valid - 1)
         return tj[window]
 
-    return jax.vmap(pick, in_axes=1)(taus)
+    return jax.vmap(pick, in_axes=1)(taus).astype(chain_buf.dtype)
 
 
 @partial(jax.jit, static_argnames=("c",))
@@ -131,8 +135,10 @@ def integrated_autocorr_time(chain, c: float = 5.0):
 
     def per_param(x):  # x: (n, w)
         rho = jax.vmap(autocorr_function, in_axes=1, out_axes=1)(x)  # (n, w)
-        f = jnp.mean(rho, axis=1)
-        taus = 2.0 * jnp.cumsum(f) - 1.0
+        # f32 cumsum: see integrated_autocorr_time_masked (f64 emulation
+        # makes this one op dominate the TPU compile)
+        f = jnp.mean(rho, axis=1).astype(jnp.float32)
+        taus = (2.0 * jnp.cumsum(f) - 1.0).astype(x.dtype)
         m = jnp.arange(n)
         crossed = m >= c * taus
         # first index where window criterion holds; argmax of bool gives it
