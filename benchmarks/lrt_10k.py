@@ -1,0 +1,112 @@
+"""End-to-end wall-clock of the complete Protassov LRT on one chip.
+
+The headline production scenario (BASELINE.md): N = 5,000-point
+lightcurve, null = DRW, alternative = DRW + Lorentzian (QPO),
+``--nsims`` (default 10,000) posterior-predictive simulations refit with
+both models (16 walkers x 500 steps each), observed fits 32 walkers x
+up to 10,000 steps.  Prints one JSON line with the total and the
+observed-fit / bootstrap split.
+
+Cold-start protocol: run in a FRESH process; for a truly-cold
+measurement (empty persistent compile cache) point the cache somewhere
+new, e.g.
+
+    JAX_COMPILATION_CACHE_DIR=/tmp/cc_$RANDOM python benchmarks/lrt_10k.py
+
+A warm-cache run (the default user experience after the first run on a
+machine) reuses every compiled program and is dominated by device
+execution.  Cross-process timings on a shared TPU pool vary +-2-3x;
+compare within one pool state.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nsims", type=int, default=10_000)
+    ap.add_argument("--n-points", type=int, default=5_000)
+    ap.add_argument("--observed-max-steps", type=int, default=10_000)
+    ap.add_argument("--observed-walkers", type=int, default=32)
+    ap.add_argument("--sim-steps", type=int, default=500)
+    ap.add_argument("--sim-walkers", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--pdf", default="Gaussian")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--progress", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from mind_the_gaps_tpu import GappyLightcurve
+    from mind_the_gaps_tpu.kernels import DampedRandomWalk, Lorentzian
+    from mind_the_gaps_tpu.lrt import protassov_lrt
+
+    rng = np.random.default_rng(0)
+    t = np.cumsum(rng.uniform(2.0, 8.0, args.n_points))
+    # observed data = an exact realization of the NULL (DRW = OU) process
+    # plus measurement noise, so both observed fits are well-posed and
+    # converge the way the production scenario does (white-noise data
+    # leaves the QPO parameters unidentifiable and forces the alt chain
+    # to burn all max_steps)
+    S0, w0 = np.exp(1.0), np.exp(-3.0)
+    y = np.empty(args.n_points)
+    y[0] = rng.normal(0.0, np.sqrt(S0))
+    phi = np.exp(-w0 * np.diff(t))
+    innov = rng.normal(0.0, np.sqrt(S0 * (1.0 - phi**2)))
+    for i in range(1, args.n_points):
+        y[i] = phi[i - 1] * y[i - 1] + innov[i - 1]
+    dy = np.full(args.n_points, 0.3)
+    y = y + 10.0 + rng.normal(0.0, dy)
+    lc = GappyLightcurve(t, y, dy, exposures=1.0)
+
+    null_kernel = DampedRandomWalk(log_S0=1.0, log_omega0=-3.0, bounds=[(-5, 10), (-8, 2)])
+    alt_kernel = null_kernel + Lorentzian(
+        log_S0=-1.0, log_Q=2.0, log_omega0=-2.0, bounds=[(-8, 5), (0, 6), (-5, 0)]
+    )
+
+    t0 = time.perf_counter()
+    result = protassov_lrt(
+        lc,
+        null_kernel,
+        alt_kernel,
+        nsims=args.nsims,
+        pdf=args.pdf,
+        observed_max_steps=args.observed_max_steps,
+        observed_walkers=args.observed_walkers,
+        sim_max_steps=args.sim_steps,
+        sim_walkers=args.sim_walkers,
+        chunk=args.chunk,
+        seed=args.seed,
+        progress=args.progress,
+    )
+    total = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"lrt_{args.nsims}sim_seconds",
+                "value": round(total, 1),
+                "unit": "s",
+                "nsims": args.nsims,
+                "n_points": args.n_points,
+                "p_value": result.p_value,
+                "t_obs": round(result.t_obs, 3),
+                "backend": jax.default_backend(),
+                "cache_dir": jax.config.jax_compilation_cache_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ is kept (O(1) memory in steps).
 from __future__ import annotations
 
 import os
+import time
 import warnings
 import zlib
 from dataclasses import dataclass, field
@@ -548,39 +549,137 @@ def protassov_lrt(
     """
     if nsims < 1:
         raise ValueError("nsims must be >= 1 (the p-value is the tail fraction of the simulated T distribution)")
+    t_start = time.monotonic()
+
+    def _mark(msg):
+        if progress:
+            print(f"[lrt +{time.monotonic() - t_start:7.1f}s] {msg}", flush=True)
+
     key = jax.random.key(seed)
+    sim_dtype = None if sim_dtype is None else jnp.dtype(sim_dtype)
+    refine_f64 = sim_dtype is not None and sim_dtype != jnp.dtype(np.float64)
+    dy_obs = np.asarray(
+        lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n),
+        dtype=np.float64,
+    )
+    need_null = null_model is None
+    need_alt = alt_model is None
+    if need_null:
+        null_model = GPModelling(lightcurve, null_kernel)
+    if need_alt:
+        alt_model = GPModelling(lightcurve, alt_kernel)
+
+    # Fire ALL the device pipeline's cold compiles NOW, before any
+    # sampling: every program of the bootstrap stage (chunk fitters,
+    # generator, f64 refiners, the observed fits' f64 recompute) is
+    # fully determined by SHAPES known at entry, and concurrent compiles
+    # through a remote-compile tunnel overlap almost perfectly
+    # (measured: 4 concurrent trivial-scan compiles ~ 1 compile's wall
+    # clock; each compile has a tens-of-seconds floor regardless of
+    # program size).  The bootstrap programs then compile WHILE the
+    # observed fits sample instead of serializing after them.  The
+    # fitters are built with a placeholder theta0 — the starting point
+    # is a runtime argument, not part of the compiled program — and
+    # repointed at the observed MAP estimates below.
+    fitter_null = fitter_alt = gen = None
+    if not keep_simulations:
+        from concurrent.futures import ThreadPoolExecutor
+
+        fitter_null = _ChunkFitter(
+            null_kernel, lightcurve.times, null_kernel.get_parameter_vector(),
+            walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+        )
+        fitter_alt = _ChunkFitter(
+            alt_kernel, lightcurve.times, alt_kernel.get_parameter_vector(),
+            walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+        )
+        n_rows = nsims + (1 if matched_estimator else 0)
+        gen = null_model.make_device_generator(
+            pdf, extension_factor=extension_factor, sigma_noise=sigma_noise
+        )
+        pre_pool = ThreadPoolExecutor(8)
+        fitter_null.precompile_async(pre_pool, n_rows)
+        fitter_alt.precompile_async(pre_pool, n_rows)
+        n_pts = int(lightcurve.n)
+        t64_pre = jnp.asarray(lightcurve.times, dtype=jnp.float64)
+        if pdf.lower() == "gaussian":
+            # the E13 generator is a host-chunked loop, not one program;
+            # only the fused Gaussian pipeline precompiles as a unit
+            gen_b = min(nsims, chunk, _GEN_CAP)
+
+            def _pre_gen():
+                th = jnp.zeros((gen_b, null_model._ndim), dtype=jnp.float64)
+                gen.lower(jax.random.key(0), jax.random.key(0), th).compile()
+
+            pre_pool.submit(_pre_gen)
+        if refine_f64:
+            n_chunks_pre = -(-n_rows // chunk)
+            nb_last = n_rows - (n_chunks_pre - 1) * chunk
+            rows = (
+                chunk
+                if n_chunks_pre > 1
+                else nb_last + fitter_null.pad_rows(nb_last, n_rows)
+            )
+
+            def _pre_refine(kern, d):
+                _f64_logprob_chunk_from_dy.lower(
+                    jnp.zeros((rows, d), dtype=sim_dtype),
+                    t64_pre,
+                    jnp.zeros((rows, n_pts), dtype=jnp.float64),
+                    jnp.zeros((rows, n_pts), dtype=jnp.float64),
+                    kernel=kern,
+                ).compile()
+
+            pre_pool.submit(_pre_refine, null_kernel, null_kernel.ndim)
+            pre_pool.submit(_pre_refine, alt_kernel, alt_kernel.ndim)
+        if observed_fast is not False and jax.default_backend() == "tpu":
+            # derive_posteriors' end-of-run f64 recompute (one padded
+            # 4096-row program per model on the fast path)
+            def _pre_recompute(model):
+                model._logprob_batch.lower(
+                    jnp.zeros((4096, model._ndim), dtype=jnp.float64)
+                ).compile()
+
+            if need_null:
+                pre_pool.submit(_pre_recompute, null_model)
+            if need_alt:
+                pre_pool.submit(_pre_recompute, alt_model)
+        # the observed-fit segment programs: start their compiles now so
+        # they overlap the MAP fits and the bootstrap-program compiles
+        for model, need in ((null_model, need_null), (alt_model, need_alt)):
+            if need:
+                model.precompile_sampler(
+                    pre_pool, max_steps=observed_max_steps,
+                    walkers=observed_walkers, fast=observed_fast,
+                )
+        pre_pool.shutdown(wait=False)
+        _mark("cold compiles submitted")
 
     # 1. observed fits.  When both models need deriving they run on two
-    # threads: the two segment programs' compiles — the LRT's largest
-    # truly-cold cost on a remote-compile runtime — then overlap, and so
-    # do each model's per-segment device executions (the convergence
-    # loop's host check otherwise serializes two independent chains).
-    # Results are identical to the sequential order: each model owns its
-    # RNG stream (seed+101 / seed+102).
+    # threads: the two segment programs' compiles — the largest
+    # remaining truly-cold cost — then overlap, and so do each model's
+    # per-segment device executions (the convergence loop's host check
+    # otherwise serializes two independent chains).  Results are
+    # identical to the sequential order: each model owns its RNG stream
+    # (seed+101 / seed+102).
     obs_kwargs = dict(
         fit=fit_observed, max_steps=observed_max_steps, walkers=observed_walkers,
         progress=progress, fast=observed_fast,
     )
-    if null_model is None and alt_model is None:
+    if need_null and need_alt:
         from concurrent.futures import ThreadPoolExecutor
 
-        from mind_the_gaps_tpu.gpmodelling import _pallas_backend_ok
-
-        _pallas_backend_ok()  # resolve the process-wide probe un-raced
-        null_model = GPModelling(lightcurve, null_kernel)
-        alt_model = GPModelling(lightcurve, alt_kernel)
         with ThreadPoolExecutor(2) as pool:
             f_null = pool.submit(null_model.derive_posteriors, seed=seed + 101, **obs_kwargs)
             f_alt = pool.submit(alt_model.derive_posteriors, seed=seed + 102, **obs_kwargs)
             f_null.result()
             f_alt.result()
-    elif null_model is None:
-        null_model = GPModelling(lightcurve, null_kernel)
+    elif need_null:
         null_model.derive_posteriors(seed=seed + 101, **obs_kwargs)
-    elif alt_model is None:
-        alt_model = GPModelling(lightcurve, alt_kernel)
+    elif need_alt:
         alt_model.derive_posteriors(seed=seed + 102, **obs_kwargs)
 
+    _mark("observed fits done")
     t_obs = -2.0 * (null_model.max_loglikelihood - alt_model.max_loglikelihood)
 
     # 2+3. posterior-predictive simulation + refits.  The matched-
@@ -591,14 +690,6 @@ def protassov_lrt(
     key, k_null, k_alt = jax.random.split(key, 3)
     theta0_null = null_model.max_parameters[: null_kernel.ndim]
     theta0_alt = alt_model.max_parameters[: alt_kernel.ndim]
-    import jax.numpy as _jnp
-
-    sim_dtype = None if sim_dtype is None else _jnp.dtype(sim_dtype)
-    refine_f64 = sim_dtype is not None and sim_dtype != _jnp.dtype(np.float64)
-    dy_obs = np.asarray(
-        lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n),
-        dtype=np.float64,
-    )
     sim_rates = sim_dy = None
 
     if keep_simulations:
@@ -646,28 +737,14 @@ def protassov_lrt(
         n_samples = len(null_model.mcmc_samples)
         idx = np.asarray(jax.random.randint(k_pick, (nsims,), 0, n_samples))
         param_samples = np.asarray(null_model.mcmc_samples)[idx]
-        gen = null_model.make_device_generator(
-            pdf, extension_factor=extension_factor, sigma_noise=sigma_noise
-        )
 
-        fitter_null = _ChunkFitter(
-            null_kernel, lightcurve.times, theta0_null, walkers=sim_walkers,
-            n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
-        )
-        fitter_alt = _ChunkFitter(
-            alt_kernel, lightcurve.times, theta0_alt, walkers=sim_walkers,
-            n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
-        )
+        # the fitters and generator were built (and their compiles
+        # started) at entry; repoint the fitters' starting vectors at
+        # the observed MAP estimates (a runtime argument of the already
+        # compiled programs)
+        fitter_null.theta0 = jnp.asarray(theta0_null, dtype=jnp.float64)
+        fitter_alt.theta0 = jnp.asarray(theta0_alt, dtype=jnp.float64)
         n_rows = nsims + (1 if matched_estimator else 0)
-        from concurrent.futures import ThreadPoolExecutor
-
-        compile_pool = ThreadPoolExecutor(2)
-        # both chunk-fitter compiles start NOW on worker threads; the
-        # main thread proceeds to compile+run the generation program, so
-        # all three cold compiles overlap.  fit_chunk joins the futures.
-        fitter_null.precompile_async(compile_pool, n_rows)
-        fitter_alt.precompile_async(compile_pool, n_rows)
-        compile_pool.shutdown(wait=False)
         obs_y = jnp.asarray(np.asarray(lightcurve.y, dtype=np.float64))[None, :]
         obs_dy = jnp.asarray(dy_obs)[None, :]
         t64 = jnp.asarray(lightcurve.times, dtype=jnp.float64)
@@ -796,11 +873,13 @@ def protassov_lrt(
                 # run generation/fits/refinement back to back
                 null_parts.append(nl)
                 alt_parts.append(al)
+            _mark(f"bootstrap chunk {ci + 1}/{n_chunks} dispatched")
         null_lls = np.concatenate([np.asarray(x, dtype=np.float64) for x in null_parts])
         alt_lls = np.concatenate([np.asarray(x, dtype=np.float64) for x in alt_parts])
         if matched_estimator:
             ll0_obs, ll1_obs = null_lls[-1], alt_lls[-1]
             null_lls, alt_lls = null_lls[:-1], alt_lls[:-1]
+        _mark("bootstrap results fetched")
 
     # 4. T distribution and p-values (reference nb: percentileofscore)
     t_dist = -2.0 * (null_lls - alt_lls)
