@@ -627,11 +627,8 @@ class GPModelling:
         state = jnp.asarray(initial_chain_params)
         chain_buf = jnp.zeros((max_steps, walkers, self._ndim), dtype=state.dtype)
         lp_buf = jnp.zeros((max_steps, walkers), dtype=state.dtype)
-        key = self._key
-        iteration = 0
-        tau = np.full(self._ndim, np.inf)
-        while iteration < max_steps:
-            steps = min(convergence_steps, max_steps - iteration)
+
+        def dispatch(fast_, carry, iteration, steps):
             # The FIRST fast-path compile doubles as the Pallas -> XLA
             # fallback gate (same semantics as lrt._ChunkFitter): Mosaic
             # being unavailable / failing to lower is a compile-time
@@ -642,26 +639,45 @@ class GPModelling:
             # compiled anyway — and avoids serializing a probe compile
             # in front of every cold pipeline.
             try:
-                seg = self._segment_exec(fast, steps, key, state, chain_buf, lp_buf)
+                seg = self._segment_exec(fast_, steps, *carry)
             except Exception as exc:
-                if not fast or self._fast_gate_checked:
+                if not fast_ or self._fast_gate_checked:
                     raise
                 warnings.warn(
                     "Pallas sampler path failed to compile on this backend "
                     f"({type(exc).__name__}: {exc}); using the XLA f64 sampler"
                 )
-                fast = False
-                seg = self._segment_exec(fast, steps, key, state, chain_buf, lp_buf)
-            if fast:
+                fast_ = False
+                seg = self._segment_exec(fast_, steps, *carry)
+            if fast_:
                 self._fast_gate_checked = True
-            key, state, chain_buf, lp_buf, tau_d, acc = seg(
-                key, state, chain_buf, lp_buf, jnp.asarray(iteration, dtype=jnp.int32)
-            )
+            out = seg(*carry, jnp.asarray(iteration, dtype=jnp.int32))
+            return fast_, out
+
+        # Speculative segment pipelining: segment k+1 is dispatched
+        # BEFORE segment k's tau scalars are fetched, so the device
+        # never idles through the per-segment host roundtrip (on the
+        # remote runtime that roundtrip is a substantial fraction of a
+        # 500-step segment).  Results are bitwise identical to the
+        # sequential loop: the speculative segment consumes exactly the
+        # RNG stream / buffers the sequential loop would have given it,
+        # and if the convergence check stops at k its outputs are simply
+        # dropped (functional arrays — nothing was overwritten).
+        carry = (self._key, state, chain_buf, lp_buf)
+        iteration = 0
+        tau = np.full(self._ndim, np.inf)
+        steps = min(convergence_steps, max_steps)
+        fast, out = dispatch(fast, carry, iteration, steps)
+        while True:
             iteration += steps
-            tau = np.asarray(tau_d)
+            next_out = None
+            if iteration < max_steps:
+                steps_next = min(convergence_steps, max_steps - iteration)
+                fast, next_out = dispatch(fast, out[:4], iteration, steps_next)
+            tau = np.asarray(out[4])
             self._autocorr.append(np.mean(tau))
             if progress:
-                print(f"step {iteration}/{max_steps} (accept {float(acc):.2f})", flush=True)
+                print(f"step {iteration}/{max_steps} (accept {float(out[5]):.2f})", flush=True)
 
             if (
                 np.all(tau * 100 < iteration)
@@ -673,7 +689,12 @@ class GPModelling:
                 self.converged = True
                 break
             old_tau = tau
+            if next_out is None:
+                break
+            steps = steps_next
+            out = next_out
 
+        key, state, chain_buf, lp_buf = out[:4]
         self._key = key
         sampler = ChainResult(
             np.asarray(chain_buf[:iteration]), np.asarray(lp_buf[:iteration])

@@ -585,6 +585,7 @@ def protassov_lrt(
     if not keep_simulations:
         from concurrent.futures import ThreadPoolExecutor
 
+        _mark("models built")
         fitter_null = _ChunkFitter(
             null_kernel, lightcurve.times, null_kernel.get_parameter_vector(),
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
@@ -597,11 +598,14 @@ def protassov_lrt(
         gen = null_model.make_device_generator(
             pdf, extension_factor=extension_factor, sigma_noise=sigma_noise
         )
+        _mark("fitters+generator built")
         pre_pool = ThreadPoolExecutor(8)
         fitter_null.precompile_async(pre_pool, n_rows)
         fitter_alt.precompile_async(pre_pool, n_rows)
+        _mark("fitter precompiles submitted")
         n_pts = int(lightcurve.n)
         t64_pre = jnp.asarray(lightcurve.times, dtype=jnp.float64)
+        _mark("t64 device put done")
         if pdf.lower() == "gaussian":
             # the E13 generator is a host-chunked loop, not one program;
             # only the fused Gaussian pipeline precompiles as a unit
