@@ -608,11 +608,15 @@ def protassov_lrt(
         _mark("t64 device put done")
         if pdf.lower() == "gaussian":
             # the E13 generator is a host-chunked loop, not one program;
-            # only the fused Gaussian pipeline precompiles as a unit
+            # only the fused Gaussian pipeline precompiles as a unit.
+            # The dummy thetas carry the same sharding the real chunks
+            # will (sharding is part of the compiled signature).
             gen_b = min(nsims, chunk, _GEN_CAP)
 
             def _pre_gen():
                 th = jnp.zeros((gen_b, null_model._ndim), dtype=jnp.float64)
+                if fitter_null.mesh is not None and gen_b % fitter_null.n_dev == 0:
+                    th = shard_batch(th, fitter_null.mesh)
                 gen.lower(jax.random.key(0), jax.random.key(0), th).compile()
 
             pre_pool.submit(_pre_gen)
@@ -839,6 +843,17 @@ def protassov_lrt(
                     # generation program keeps ONE shape; slice after
                     pidx = np.arange(chunk - count) % count
                     thetas_c = np.concatenate([thetas_c, thetas_c[pidx]])
+                if (
+                    fitter_null.mesh is not None
+                    and thetas_c.shape[0] % fitter_null.n_dev == 0
+                ):
+                    # shard the GENERATION over the mesh too (roadmap:
+                    # the sims were generated replicated-ish and only
+                    # resharded at the fitter boundary) — the parameter
+                    # draws go in batch-sharded, so XLA partitions the
+                    # whole FFT/noise pipeline per device and the rates
+                    # arrive at the fitters already distributed
+                    thetas_c = shard_batch(jnp.asarray(thetas_c), fitter_null.mesh)
                 rates, dys = gen_capped(k_sims[ci], k_noises[ci], thetas_c)
                 if rates.shape[0] != count:
                     rates, dys = rates[:count], dys[:count]
