@@ -486,15 +486,24 @@ class GPModelling:
         return np.asarray(params), float(value)
 
     # ------------------------------------------------------------------ #
-    def spread_walkers(self, walkers, parameters, bounds, percent=0.1, max_attempts=20):
+    def spread_walkers(self, walkers, parameters, bounds, percent=0.1, max_attempts=20, rng=None):
         """Gaussian ball around ``parameters`` clipped into bounds;
         faithful to reference gpmodelling.py:289-350 (including the
-        1.05x/0.95x clamping of persistent out-of-bounds walkers)."""
+        1.05x/0.95x clamping of persistent out-of-bounds walkers).
+
+        ``rng``: optional ``np.random.Generator``.  The reference draws
+        from the global numpy RNG (gpmodelling.py:307), which makes even
+        seeded runs irreproducible (and, with the LRT's threaded
+        observed fits, interleaving-dependent); derive_posteriors passes
+        a generator derived from its ``seed`` so seeded runs are exactly
+        reproducible.  Default None keeps the reference's global-RNG
+        behavior."""
         if percent < 0 or percent > 1:
             raise ValueError("The 'percent' parameter must be between 0 and 1 (inclusive).")
+        draw = rng.normal if rng is not None else np.random.normal
         parameters = np.asarray(parameters, dtype=float)
         std = np.abs(parameters) * percent
-        initial_samples = np.random.normal(parameters, std, size=(walkers, len(parameters)))
+        initial_samples = draw(parameters, std, size=(walkers, len(parameters)))
         bounds = np.array(
             [
                 (-np.inf if lower is None else lower, np.inf if upper is None else upper)
@@ -511,7 +520,7 @@ class GPModelling:
                     np.logical_and(bounds[:, 0] <= initial_samples[i], initial_samples[i] <= bounds[:, 1])
                 ):
                     break
-                initial_samples[i] = np.random.normal(parameters, std)
+                initial_samples[i] = draw(parameters, std)
             if attempt == max_attempts - 1:
                 warnings.warn("Some walkers are out of bounds! Setting them to values close to the bounds")
                 out_lower = initial_samples[i] < bounds[:, 0]
@@ -598,6 +607,8 @@ class GPModelling:
         (None): automatically True on a TPU backend, False elsewhere; if
         the Pallas program fails to COMPILE the sampler warns and falls
         back to the XLA f64 path (runtime errors propagate)."""
+        if seed is not None:
+            self._key = jax.random.key(seed)
         if initial_chain_params is None:
             if not fit:
                 initial_params = self.initial_params
@@ -605,13 +616,11 @@ class GPModelling:
                 solution = self.fit(self.initial_params)
                 initial_params = solution.x
             initial_chain_params = self.spread_walkers(
-                walkers, initial_params, np.array(self.get_parameter_bounds(), dtype=object)
+                walkers, initial_params, np.array(self.get_parameter_bounds(), dtype=object),
+                rng=np.random.default_rng(seed) if seed is not None else None,
             )
         initial_chain_params = np.asarray(initial_chain_params, dtype=float)
         walkers = initial_chain_params.shape[0]
-
-        if seed is not None:
-            self._key = jax.random.key(seed)
 
         if fast is None:
             fast = jax.default_backend() == "tpu"

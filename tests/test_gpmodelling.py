@@ -138,6 +138,22 @@ def test_fit_recovers_drw(drw_lightcurve):
     assert ll_map >= ll_true - 1e-6
 
 
+def test_derive_posteriors_seeded_is_deterministic(drw_lightcurve):
+    """A seeded run must reproduce exactly — including the walker-ball
+    initialization, which the reference draws from the GLOBAL numpy RNG
+    (gpmodelling.py:307; our spread_walkers gets a seed-derived
+    Generator from derive_posteriors instead)."""
+    lc, _ = drw_lightcurve
+    kernel = DampedRandomWalk(log_S0=0.0, log_omega0=-2.0, bounds=[(-5, 10), (-8, 2)])
+    chains = []
+    for _ in range(2):
+        np.random.seed()  # scramble the global RNG between runs
+        gp = GPModelling(lc, kernel)
+        gp.derive_posteriors(max_steps=200, convergence_steps=100, walkers=8, seed=13, fit=False)
+        chains.append(np.asarray(gp.mcmc_samples))
+    np.testing.assert_array_equal(chains[0], chains[1])
+
+
 def test_derive_posteriors_and_generate(drw_lightcurve):
     lc, (ls0, lw0) = drw_lightcurve
     kernel = DampedRandomWalk(log_S0=0.0, log_omega0=-2.0, bounds=[(-5, 10), (-8, 2)])
