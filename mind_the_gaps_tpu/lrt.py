@@ -630,12 +630,19 @@ def protassov_lrt(
             )
 
             def _pre_refine(kern, d):
+                th = jnp.zeros((rows, d), dtype=sim_dtype)
+                ys = jnp.zeros((rows, n_pts), dtype=jnp.float64)
+                ds = jnp.zeros((rows, n_pts), dtype=jnp.float64)
+                if fitter_null.mesh is not None and rows % fitter_null.n_dev == 0:
+                    # match the runtime sharding (the generated rates and
+                    # fitted thetas arrive batch-sharded) — an unsharded
+                    # dummy would seed a jit specialization the real call
+                    # never hits
+                    th = shard_batch(th, fitter_null.mesh)
+                    ys = shard_batch(ys, fitter_null.mesh)
+                    ds = shard_batch(ds, fitter_null.mesh)
                 _f64_logprob_chunk_from_dy.lower(
-                    jnp.zeros((rows, d), dtype=sim_dtype),
-                    t64_pre,
-                    jnp.zeros((rows, n_pts), dtype=jnp.float64),
-                    jnp.zeros((rows, n_pts), dtype=jnp.float64),
-                    kernel=kern,
+                    th, t64_pre, ys, ds, kernel=kern
                 ).compile()
 
             pre_pool.submit(_pre_refine, null_kernel, null_kernel.ndim)
