@@ -545,6 +545,15 @@ def pallas_log_likelihood(
     dtype = ar.dtype
     Jr, Jc = ar.shape[1], ac.shape[1]
     R = Jr + 2 * Jc
+    # Multi-term kernels prefer a smaller batch tile: the state grows as
+    # R^2/2 rows, and v5e-measured sweeps at N=10k show tile=1024
+    # beating tile=2048 once R >= 7 (R=7: 477 vs 439 k evals/s; R=8:
+    # 429 vs 355) while R=3 strongly prefers 2048 (2.1M vs 0.96M at
+    # 1024, round 3) — ``tile`` is the upper preference, so cap it for
+    # large-R kernels (also restores the vreg-carry form at R <= 6,
+    # whose n_carry fits the register file only at tile <= 1024).
+    if sym and R >= 5:
+        tile = min(tile, 1024)
     per_element = repeats == 1 and jnp.ndim(y) == 2
     if per_element:
         if jnp.asarray(y).shape[0] != B:
