@@ -221,9 +221,9 @@ def _make_kernel_sym(Jr: int, Jc: int, N: int, n_blocks: int, tb: int, dtype, ti
     entry with closed-form block formulas instead of the full outer
     product + two dense P-rotations.  TPU-measured at R=3 (DRW+QPO,
     N=5k, B=64k): 1.05M evals/s vs 504k for the dense-S body (2.09x),
-    max |diff| 2e-3 (_scratch/pallas_sym_experiment.py).
+    max |diff| 2e-3 (round-3 experiment).
 
-    Round 4 (_scratch/pallas_r4_experiment.py) restructured the serial
+    Round 4 (see benchmarks/experiments/) restructured the serial
     time loop, 1.41M -> 1.97M evals/s on the same problem:
     - the per-row propagators (exp/cos/sin of the celerite recursion)
       plus the residual r = y - mean and diagonal A = diag + k0 are

@@ -259,7 +259,14 @@ class Simulator:
         if epsilon < 1:
             raise ValueError("Epsilon needs to be greater than 1!")
         if np.any(np.asarray(exposures) == 0):
-            raise ValueError("Some exposure times are 0!")
+            # reference simulator.py:203 raises the same way; add the fix
+            # hint — a GappyLightcurve built without exposures (or loaded
+            # from a file without an exposure column) defaults to zeros
+            raise ValueError(
+                "Some exposure times are 0! Simulation needs real exposure "
+                "times: pass exposures= to GappyLightcurve (or load a file "
+                "with an exposure column) before get_simulator/the LRT."
+            )
         self._exposures = (
             np.full(len(times), exposures) if np.isscalar(exposures) else np.asarray(exposures, dtype=float)
         )
