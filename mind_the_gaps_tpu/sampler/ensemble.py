@@ -100,6 +100,68 @@ sample_ensemble = partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "a
 )
 
 
+def sample_ensemble_grouped(key, log_prob_fn, initial_state, n_steps, a=2.0):
+    """``C`` INDEPENDENT stretch-move ensembles advancing in lock-step.
+
+    initial_state: (C, W, D).  Each ensemble proposes only within its own
+    complementary halves (identical statistics to ``C`` separate
+    sample_ensemble runs), but every half-update evaluates ONE
+    (C*W/2, D) batched log-probability — on TPU the extra chains ride
+    the 128-lane kernel batch that a single small ensemble would waste
+    on padding, so C ensembles cost the same wall-clock as one.
+
+    log_prob_fn: (B, D) -> (B,) for any B (the instance log-prob
+    batchers pad internally).
+
+    Returns (chain (n_steps, C, W, D), log_probs (n_steps, C, W),
+    accept_frac scalar, final_state (C, W, D)).
+    """
+    initial_state = jnp.asarray(initial_state)
+    c, w, d = initial_state.shape
+    half = w // 2
+    if 2 * half != w:
+        raise ValueError("number of walkers must be even")
+
+    def lp(x):  # (C, half, D) -> (C, half)
+        return log_prob_fn(x.reshape(c * half, d)).reshape(c, half)
+
+    def half_update(key, active, passive, logp_active):
+        # active/passive: (C, half, D); logp_active: (C, half)
+        k_z, k_pick, k_acc = jax.random.split(key, 3)
+        u = jax.random.uniform(k_z, (c, half), dtype=initial_state.dtype)
+        z = ((a - 1.0) * u + 1.0) ** 2 / a
+        picks = jax.random.randint(k_pick, (c, half), 0, half)
+        partners = jnp.take_along_axis(passive, picks[..., None], axis=1)
+        proposal = partners + z[..., None] * (active - partners)
+        logp_new = lp(proposal)
+        log_accept = (d - 1.0) * jnp.log(z) + logp_new - logp_active
+        accept = jnp.log(jax.random.uniform(k_acc, (c, half), dtype=initial_state.dtype)) < log_accept
+        new_active = jnp.where(accept[..., None], proposal, active)
+        new_logp = jnp.where(accept, logp_new, logp_active)
+        return new_active, new_logp, accept
+
+    logp0 = jnp.concatenate(
+        [lp(initial_state[:, :half]), lp(initial_state[:, half:])], axis=1
+    )
+
+    def step(carry, key):
+        state, logp = carry
+        k1, k2 = jax.random.split(key)
+        first, second = state[:, :half], state[:, half:]
+        lp1, lp2 = logp[:, :half], logp[:, half:]
+        first, lp1, acc1 = half_update(k1, first, second, lp1)
+        second, lp2, acc2 = half_update(k2, second, first, lp2)
+        state = jnp.concatenate([first, second], axis=1)
+        logp = jnp.concatenate([lp1, lp2], axis=1)
+        n_acc = jnp.sum(acc1) + jnp.sum(acc2)
+        return (state, logp), (state, logp, n_acc)
+
+    keys = jax.random.split(key, n_steps)
+    (final, _), (chain, log_probs, n_accs) = jax.lax.scan(step, (initial_state, logp0), keys)
+    accept_frac = jnp.sum(n_accs) / (n_steps * c * w)
+    return chain, log_probs, accept_frac, final
+
+
 def run_ensemble(key, log_prob_fn, initial_state, n_steps, a=2.0):
     """Convenience alias of sample_ensemble (API stability)."""
     return sample_ensemble(key, log_prob_fn, initial_state, n_steps, a=a)

@@ -154,6 +154,41 @@ def test_derive_posteriors_seeded_is_deterministic(drw_lightcurve):
     np.testing.assert_array_equal(chains[0], chains[1])
 
 
+def test_derive_posteriors_multi_chain(drw_lightcurve):
+    """chains=C runs C independent ensembles in one batch: pooled
+    samples, sane posteriors, deterministic under a seed, and the
+    chains stay statistically consistent with each other."""
+    lc, (ls0, lw0) = drw_lightcurve
+    # NOTE nonzero start: std = |theta|*percent, so a 0.0 parameter with
+    # fit=False makes a zero-width walker ball the affine-invariant move
+    # can never leave (emcee shares this degeneracy)
+    kernel = DampedRandomWalk(log_S0=1.0, log_omega0=-2.0, bounds=[(-5, 10), (-8, 2)])
+    gp = GPModelling(lc, kernel)
+    gp.derive_posteriors(max_steps=600, convergence_steps=200, walkers=8,
+                         chains=4, seed=11, fit=False)
+    samples = gp.mcmc_samples
+    assert samples.shape[1] == 2 and len(samples) > 100
+    assert np.all(np.isfinite(gp.loglikelihoods))
+    assert abs(gp.median_parameters[0] - ls0) < 1.5
+    assert abs(gp.median_parameters[1] - lw0) < 1.5
+    # pooled walkers = chains * walkers
+    assert gp.get_rstat(burnin=100).shape == (32, 2)
+
+    # per-ensemble medians agree within a loose tolerance (independent
+    # chains exploring the same posterior)
+    chain = gp.sampler.get_chain(discard=200)  # (steps, 32, 2)
+    per_chain_med = np.median(chain.reshape(chain.shape[0], 4, 8, 2), axis=(0, 2))
+    assert np.all(np.ptp(per_chain_med, axis=0) < 2.0)
+
+    gp2 = GPModelling(lc, kernel)
+    gp2.derive_posteriors(max_steps=600, convergence_steps=200, walkers=8,
+                          chains=4, seed=11, fit=False)
+    np.testing.assert_array_equal(samples, gp2.mcmc_samples)
+
+    with pytest.raises(ValueError, match="chains, walkers, ndim"):
+        gp.derive_posteriors(initial_chain_params=np.zeros((8, 2)), chains=4)
+
+
 def test_derive_posteriors_and_generate(drw_lightcurve):
     lc, (ls0, lw0) = drw_lightcurve
     kernel = DampedRandomWalk(log_S0=0.0, log_omega0=-2.0, bounds=[(-5, 10), (-8, 2)])
