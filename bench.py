@@ -192,19 +192,28 @@ def _bootstrap_chunk_seconds(t, y, diag, chunk_sims=512, walkers=16, n_steps=500
         "bootstrap_chunk_sims": chunk_sims,
         "bootstrap_walkers": walkers,
         "bootstrap_steps": n_steps,
+        "bootstrap_early_stop": [0.01, 50],
         "bootstrap_scaled_from_chunk": True,
     }
     total = 0.0
     for name, kernel in (("null", null_kernel), ("alt", alt_kernel)):
         theta0 = jnp.asarray(kernel.get_parameter_vector(), dtype=dtype)
+        # early_stop is protassov_lrt's production default: the chunk's
+        # step loop stops once no sim improved its best loglike by >0.01
+        # for 50 consecutive steps (the DRW null plateaus near step ~130;
+        # the alt runs its full budget — benchmarks/experiments/
+        # plateau_probe.py)
         runner = _make_batched_max_loglike(
             kernel, tt, n_steps, walkers, dtype=dtype,
-            backend="pallas" if use_pallas else "xla",
+            backend="pallas" if use_pallas else "xla", early_stop=(0.01, 50),
         )
         try:
             exec_fn = runner.lower(jax.random.key(0), ys_j, diags_j, theta0, 0.1).compile()
         except Exception:
-            runner = _make_batched_max_loglike(kernel, tt, n_steps, walkers, dtype=dtype, backend="xla")
+            runner = _make_batched_max_loglike(
+                kernel, tt, n_steps, walkers, dtype=dtype, backend="xla",
+                early_stop=(0.01, 50),
+            )
             exec_fn = runner.lower(jax.random.key(0), ys_j, diags_j, theta0, 0.1).compile()
         lls, _ = exec_fn(jax.random.key(0), ys_j, diags_j, theta0, 0.1)  # warmup
         float(jnp.sum(lls))

@@ -147,7 +147,7 @@ class LRTResult:
     sim_dy: np.ndarray = field(repr=False, default=None)
 
 
-def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0, dtype=None, backend: str = "xla", mesh=None, axis_name: str = "batch"):
+def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 2.0, dtype=None, backend: str = "xla", mesh=None, axis_name: str = "batch", early_stop=None):
     """Build the jitted grouped-batch short-MCMC max-loglikelihood program
     for one kernel over fixed timestamps.
 
@@ -160,6 +160,21 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
     in lock-step; every half-ensemble update evaluates one
     (G*W/2)-element batched likelihood with the batch on the VPU lanes
     (solver/batched.py).
+
+    ``early_stop``: optional ``(tol, patience)``.  When set, the step
+    loop is a device-side ``while_loop`` that stops once NO lightcurve
+    in the batch has improved its running best log-likelihood by more
+    than ``tol`` for ``patience`` consecutive steps (lock-step over the
+    batch; under shard_map each device stops independently).  Per-step
+    RNG keys are ``fold_in(k_run, step)`` on both paths, so a run with
+    ``patience >= n_steps`` is bit-identical to the fixed-budget scan.
+    Measured on the production scenario (benchmarks/experiments/
+    plateau_probe.py, 512 sims x 16 walkers, N=5k): the DRW null's best
+    loglike stops improving by >0.01 after step ~76 worst-case — a
+    (0.01, 50) rule stops at step ~126 with worst best-loglike error
+    0.008, far below the f32 noise floor (~0.1, test_mixed_precision) —
+    while the DRW+QPO alternative keeps improving and runs its full
+    budget.
     """
     from mind_the_gaps_tpu.solver.batched import batched_log_prob_fn
 
@@ -238,8 +253,8 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
             [lp_eval(init[:, :half]), lp_eval(init[:, half:])], axis=1
         )
 
-        def step(carry, key):
-            state, logp, best_lp, best_x = carry
+        def advance(state, logp, best_lp, best_x, step_i):
+            key = jax.random.fold_in(k_run, step_i)
             k1, k2 = jax.random.split(key)
             first, second = state[:, :half], state[:, half:]
             lp1, lp2 = logp[:, :half], logp[:, half:]
@@ -251,16 +266,49 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
             cand_lp = jnp.take_along_axis(logp, i[:, None], axis=1)[:, 0]
             cand_x = jnp.take_along_axis(state, i[:, None, None], axis=1)[:, 0]
             better = cand_lp > best_lp
-            best_lp = jnp.where(better, cand_lp, best_lp)
-            best_x = jnp.where(better[:, None], cand_x, best_x)
-            return (state, logp, best_lp, best_x), None
+            new_best_lp = jnp.where(better, cand_lp, best_lp)
+            new_best_x = jnp.where(better[:, None], cand_x, best_x)
+            return state, logp, new_best_lp, new_best_x, cand_lp
 
         i0 = jnp.argmax(logp0, axis=1)
         best_lp0 = jnp.take_along_axis(logp0, i0[:, None], axis=1)[:, 0]
         best_x0 = jnp.take_along_axis(init, i0[:, None, None], axis=1)[:, 0]
-        keys = jax.random.split(k_run, n_steps)
-        (state, logp, best_lp, best_x), _ = jax.lax.scan(
-            step, (init, logp0, best_lp0, best_x0), keys
+        carry0 = (init, logp0, best_lp0, best_x0)
+
+        if early_stop is None:
+            def step(carry, step_i):
+                state, logp, best_lp, best_x = carry
+                state, logp, best_lp, best_x, _ = advance(
+                    state, logp, best_lp, best_x, step_i
+                )
+                return (state, logp, best_lp, best_x), None
+
+            (state, logp, best_lp, best_x), _ = jax.lax.scan(
+                step, carry0, jnp.arange(n_steps, dtype=jnp.int32)
+            )
+            return best_lp, best_x
+
+        tol, patience = early_stop
+        tol = jnp.asarray(tol, dtype=init.dtype)
+
+        def cond(carry):
+            _, _, _, _, last_imp, step_i = carry
+            return jnp.logical_and(
+                step_i < n_steps, step_i - last_imp < patience
+            )
+
+        def body(carry):
+            state, logp, best_lp, best_x, last_imp, step_i = carry
+            state, logp, new_best_lp, best_x, cand_lp = advance(
+                state, logp, best_lp, best_x, step_i
+            )
+            improved = jnp.any(cand_lp > best_lp + tol)
+            last_imp = jnp.where(improved, step_i, last_imp)
+            return state, logp, new_best_lp, best_x, last_imp, step_i + 1
+
+        zero = jnp.int32(0)
+        _, _, best_lp, best_x, _, _ = jax.lax.while_loop(
+            cond, body, carry0 + (zero - 1, zero)
         )
         return best_lp, best_x
 
@@ -318,6 +366,7 @@ class _ChunkFitter:
     def __init__(
         self, kernel, times, theta0, walkers=16, n_steps=500, percent=0.1,
         chunk=512, dtype=None, backend="auto", spmd="gspmd", use_mesh=True,
+        early_stop=None,
     ):
         self.chunk = chunk
         self.percent = percent
@@ -335,10 +384,12 @@ class _ChunkFitter:
         self.runner = _make_batched_max_loglike(
             kernel, times, n_steps, walkers, dtype=dtype,
             backend="pallas" if use_pallas else "xla", mesh=sm_mesh,
+            early_stop=early_stop,
         )
         self._runner_fallback = (
             _make_batched_max_loglike(
-                kernel, times, n_steps, walkers, dtype=dtype, backend="xla", mesh=sm_mesh
+                kernel, times, n_steps, walkers, dtype=dtype, backend="xla",
+                mesh=sm_mesh, early_stop=early_stop,
             )
             if use_pallas
             else None
@@ -459,6 +510,7 @@ def fit_lightcurves_batch(
     dtype=None,
     backend: str = "auto",
     spmd: str = "gspmd",
+    early_stop=None,
 ):
     """Max log-likelihood of ``kernel`` fit to each of B lightcurves
     sharing ``times``: short ensemble MCMC per lightcurve, batched.
@@ -467,6 +519,10 @@ def fit_lightcurves_batch(
     "gspmd" (default) shards the inputs and lets XLA partition the jitted
     program; "shard_map" uses the explicit per-device program (per-shard
     RNG streams, multi-host-safe).
+
+    ``early_stop``: optional ``(tol, patience)`` on-device plateau rule —
+    see ``_make_batched_max_loglike``.  ``None`` runs the full fixed
+    ``n_steps`` budget.
 
     Returns (best_loglikes (B,), best_params (B, D)).
     """
@@ -478,6 +534,7 @@ def fit_lightcurves_batch(
     fitter = _ChunkFitter(
         kernel, times, theta0, walkers=walkers, n_steps=n_steps, percent=percent,
         chunk=chunk, dtype=dtype, backend=backend, spmd=spmd, use_mesh=use_mesh,
+        early_stop=early_stop,
     )
     best_lls, best_xs = [], []
     for start in range(0, B, chunk):
@@ -514,6 +571,7 @@ def protassov_lrt(
     observed_fast: Optional[bool] = None,
     keep_simulations: bool = False,
     checkpoint: Optional[str] = None,
+    sim_early_stop=(0.01, 50),
 ) -> LRTResult:
     """Run the full Protassov LRT (SURVEY.md §3.4) end to end.
 
@@ -546,6 +604,18 @@ def protassov_lrt(
     calibrated (examples/validation_pvalue_calibration.py).  The
     posterior-chain T and its p-value are still reported as
     ``t_obs_posterior`` / ``p_value_posterior`` for reference parity.
+
+    ``sim_early_stop`` (default ``(tol=0.01, patience=50)``): on-device
+    plateau rule for the short-chain refits — each chunk's step loop
+    stops once no lightcurve improved its best log-likelihood by more
+    than ``tol`` for ``patience`` consecutive steps, bounded by
+    ``sim_max_steps``.  Measured on the production scenario the DRW null
+    chunk stops near step ~130 (worst best-loglike deficit 0.008, below
+    the f32 noise floor) while the DRW+QPO alternative runs its full
+    budget (benchmarks/experiments/plateau_probe.py).  The observed
+    matched-estimator fit rides the same program, so T_obs and T_dist
+    use identical estimators.  Pass ``None`` for the reference's fixed
+    500-step budget.
     """
     if nsims < 1:
         raise ValueError("nsims must be >= 1 (the p-value is the tail fraction of the simulated T distribution)")
@@ -589,10 +659,12 @@ def protassov_lrt(
         fitter_null = _ChunkFitter(
             null_kernel, lightcurve.times, null_kernel.get_parameter_vector(),
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+            early_stop=sim_early_stop,
         )
         fitter_alt = _ChunkFitter(
             alt_kernel, lightcurve.times, alt_kernel.get_parameter_vector(),
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+            early_stop=sim_early_stop,
         )
         n_rows = nsims + (1 if matched_estimator else 0)
         gen = null_model.make_device_generator(
@@ -724,10 +796,12 @@ def protassov_lrt(
         null_lls, null_xs = fit_lightcurves_batch(
             k_null, null_kernel, lightcurve.times, fit_rates, fit_dy, theta0_null,
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+            early_stop=sim_early_stop,
         )
         alt_lls, alt_xs = fit_lightcurves_batch(
             k_alt, alt_kernel, lightcurve.times, fit_rates, fit_dy, theta0_alt,
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
+            early_stop=sim_early_stop,
         )
         if refine_f64:
             # f64-exact T statistics: re-evaluate the f32-explored
@@ -816,7 +890,9 @@ def protassov_lrt(
                 repr(
                     (nsims, chunk, seed, sim_walkers, sim_max_steps, str(sim_dtype),
                      pdf.lower(), matched_estimator, extension_factor,
-                     None if sigma_noise is None else float(np.mean(sigma_noise)))
+                     None if sigma_noise is None else float(np.mean(sigma_noise)),
+                     None if sim_early_stop is None
+                     else (float(sim_early_stop[0]), int(sim_early_stop[1])))
                 ).encode(),
                 h,
             )
