@@ -9,6 +9,15 @@ the null refit already located.  Here the alt walkers start per-sim at
 the same best-loglike traces.
 
 Usage: python benchmarks/experiments/plateau_probe2.py [--g 512]
+
+MEASURED (v5e, G=512, DRW-true sims, 500 steps): NEGATIVE.  Warm-started
+alt chains show the same improvement profile as cold ones — median
+last-improving step 361 (warm) vs 350 (cold), mean final best-loglike
+difference 0.03 (identical within MC noise).  The alt chain's slow gains
+are genuine QPO-parameter exploration, not re-finding the DRW subspace,
+so warm-starting frees no refit budget and the alt keeps its full 500
+steps.  (The null refit's plateau early stop — plateau_probe.py — stands
+and is wired into lrt.py.)
 """
 from __future__ import annotations
 
