@@ -581,9 +581,12 @@ class GPModelling:
 
         def work():
             try:
-                state = jnp.zeros((walkers, self._ndim))
-                chain_buf = jnp.zeros((max_steps, walkers, self._ndim))
-                lp_buf = jnp.zeros((max_steps, walkers))
+                # dtype must match derive_posteriors' buffers (f32 on the
+                # fast path) or this compiles a program the run never uses
+                dt = jnp.float32 if fast else jnp.float64
+                state = jnp.zeros((walkers, self._ndim), dtype=dt)
+                chain_buf = jnp.zeros((max_steps, walkers, self._ndim), dtype=dt)
+                lp_buf = jnp.zeros((max_steps, walkers), dtype=dt)
                 steps = min(convergence_steps, max_steps)
                 self._segment_exec(fast, steps, jax.random.key(0), state, chain_buf, lp_buf)
             except Exception:
@@ -679,10 +682,22 @@ class GPModelling:
         # buffers (independent chains pooled as chains*walkers walkers),
         # the convergence check is one fused device program per segment
         # (sampler scan + masked autocorr) with a (D+1,)-scalar fetch,
-        # and the chain crosses to the host ONCE at the end
-        state = jnp.asarray(initial_chain_params)
-        chain_buf = jnp.zeros((max_steps, pooled, self._ndim), dtype=state.dtype)
-        lp_buf = jnp.zeros((max_steps, pooled), dtype=state.dtype)
+        # and the chain crosses to the host ONCE at the end.
+        #
+        # The fast path runs the ENTIRE segment program in float32 — not
+        # just the likelihood kernel: TPU float64 is software-emulated,
+        # and carrying f64 walker state through the stretch-move
+        # arithmetic made the segment program ~4.4x more expensive to
+        # COMPILE (19.3 s -> 4.4 s measured for the 500-step sampler,
+        # benchmarks/experiments/sampler_compile_anatomy.py) — the
+        # dominant cold-start cost of an observed fit.  Parameter values
+        # at f32 (~1e-7 relative) are far below MCMC noise; reported
+        # log-probabilities are recomputed in f64 below, and the
+        # fetched chain is exposed as float64 for API parity.
+        seg_dtype = jnp.float32 if fast else jnp.float64
+        state = jnp.asarray(initial_chain_params, dtype=seg_dtype)
+        chain_buf = jnp.zeros((max_steps, pooled, self._ndim), dtype=seg_dtype)
+        lp_buf = jnp.zeros((max_steps, pooled), dtype=seg_dtype)
 
         def dispatch(fast_, carry, iteration, steps):
             # The FIRST fast-path compile doubles as the Pallas -> XLA
@@ -704,6 +719,9 @@ class GPModelling:
                     f"({type(exc).__name__}: {exc}); using the XLA f64 sampler"
                 )
                 fast_ = False
+                # the fallback sampler runs in f64: promote the f32 state
+                # and buffers (values are preserved exactly)
+                carry = (carry[0],) + tuple(c.astype(jnp.float64) for c in carry[1:])
                 seg = self._segment_exec(fast_, steps, *carry)
             if fast_:
                 self._fast_gate_checked = True
@@ -752,8 +770,12 @@ class GPModelling:
 
         key, state, chain_buf, lp_buf = out[:4]
         self._key = key
+        # float64 on fetch: API parity with emcee's f64 chains (the f32
+        # fast path's values are preserved exactly; reported loglikes are
+        # f64-recomputed below)
         sampler = ChainResult(
-            np.asarray(chain_buf[:iteration]), np.asarray(lp_buf[:iteration])
+            np.asarray(chain_buf[:iteration], dtype=np.float64),
+            np.asarray(lp_buf[:iteration], dtype=np.float64),
         )
         self._tau = tau
         mean_tau = np.mean(tau)
