@@ -332,6 +332,7 @@ class GPModelling:
         self._logprob_batch_fast = jax.jit(log_prob_batch_fast)
         self._fast_gate_checked = False
         self._segment_execs = {}
+        self._recompute_execs = {}
         self._segment_lock = threading.Lock()
 
         # The MAP fit is a host-driven scipy L-BFGS-B loop: on a remote
@@ -542,6 +543,64 @@ class GPModelling:
         return initial_samples
 
     # ------------------------------------------------------------------ #
+    def _segment_sig(self, fast: bool, n_steps: int, state, chain_buf):
+        return (bool(fast), int(n_steps), state.shape, chain_buf.shape, str(chain_buf.dtype))
+
+    def _segment_lower(self, fast: bool, n_steps: int, key, state, chain_buf, lp_buf):
+        """Trace+lower one segment program (no backend compile).
+
+        Kept separate from the compile so callers can lower on the MAIN
+        thread: lowering mutates global symbol counters (inner jits like
+        the log-prob batcher land in the module as e.g.
+        ``log_prob_batch_fast_154``), so a program traced while OTHER
+        threads are tracing gets order-dependent symbol names — and the
+        persistent compilation cache hashes the serialized module, so a
+        racy trace produces a key that never matches across processes.
+        Measured: every "warm" LRT run recompiled all four big programs
+        (~25-40 s) until lowering was serialized."""
+        logprob_fn = self._logprob_batch_fast if fast else self._logprob_batch
+        return _advance_segment.lower(
+            key, state, chain_buf, lp_buf, jnp.asarray(0, dtype=jnp.int32),
+            log_prob_fn=logprob_fn, n_steps=int(n_steps),
+        )
+
+    def _recompute_lower(self, rows: int = 4096):
+        """Lower the fast path's end-of-run f64 recompute program (one
+        padded ``rows``-row batch through the XLA f64 log-prob)."""
+        return self._logprob_batch.lower(jnp.zeros((rows, self._ndim), dtype=jnp.float64))
+
+    def _recompute_exec(self, rows: int = 4096):
+        """AOT executable of the f64 recompute, memoized per row count.
+
+        derive_posteriors runs on worker threads in the LRT; going
+        through the ``jax.jit`` dispatch there would TRACE the program on
+        a racy thread (see ``_segment_lower`` on why that defeats the
+        persistent compilation cache)."""
+        with self._segment_lock:
+            ex = self._recompute_execs.get(rows)
+            if ex is None:
+                ex = self._recompute_lower(rows).compile()
+                self._recompute_execs[rows] = ex
+        return ex
+
+    def precompile_recompute(self, executor, rows: int = 4096):
+        """Lower the f64 recompute on the calling thread, compile on a
+        worker (same split and rationale as ``precompile_sampler``)."""
+        try:
+            lowered = self._recompute_lower(rows)
+        except Exception:
+            return None
+
+        def work():
+            try:
+                ex = lowered.compile()
+                with self._segment_lock:
+                    self._recompute_execs.setdefault(rows, ex)
+            except Exception:
+                pass
+
+        return executor.submit(work)
+
     def _segment_exec(self, fast: bool, n_steps: int, key, state, chain_buf, lp_buf):
         """AOT executable of one convergence-loop segment, memoized per
         (path, n_steps, buffer shape/dtype).  Compiling ahead of time
@@ -549,15 +608,11 @@ class GPModelling:
         compile-time failures (the Pallas fallback gate) from runtime
         errors, and lets ``precompile_sampler`` start this compile on a
         worker thread before the MAP fit finishes."""
-        sig = (bool(fast), int(n_steps), state.shape, chain_buf.shape, str(chain_buf.dtype))
+        sig = self._segment_sig(fast, n_steps, state, chain_buf)
         with self._segment_lock:
             seg = self._segment_execs.get(sig)
             if seg is None:
-                logprob_fn = self._logprob_batch_fast if fast else self._logprob_batch
-                seg = _advance_segment.lower(
-                    key, state, chain_buf, lp_buf, jnp.asarray(0, dtype=jnp.int32),
-                    log_prob_fn=logprob_fn, n_steps=int(n_steps),
-                ).compile()
+                seg = self._segment_lower(fast, n_steps, key, state, chain_buf, lp_buf).compile()
                 self._segment_execs[sig] = seg
         return seg
 
@@ -575,20 +630,37 @@ class GPModelling:
         almost perfectly; firing this at pipeline entry hides the
         compile behind the MAP fit and any other cold compiles.  Compile
         failures are swallowed here — derive_posteriors re-attempts and
-        applies the documented fallback semantics."""
+        applies the documented fallback semantics.
+
+        The trace/lower step runs on the CALLING thread (see
+        ``_segment_lower``: racy traces embed order-dependent symbol
+        names, defeating the persistent compilation cache across
+        processes); only the backend compile goes to the worker."""
         if fast is None:
             fast = jax.default_backend() == "tpu"
 
+        # dtype must match derive_posteriors' buffers (f32 on the
+        # fast path) or this compiles a program the run never uses
+        dt = jnp.float32 if fast else jnp.float64
+        state = jnp.zeros((walkers, self._ndim), dtype=dt)
+        chain_buf = jnp.zeros((max_steps, walkers, self._ndim), dtype=dt)
+        lp_buf = jnp.zeros((max_steps, walkers), dtype=dt)
+        steps = min(convergence_steps, max_steps)
+        sig = self._segment_sig(fast, steps, state, chain_buf)
+        try:
+            lowered = self._segment_lower(
+                fast, steps, jax.random.key(0), state, chain_buf, lp_buf
+            )
+        except Exception:
+            lowered = None  # derive_posteriors re-attempts and gates
+
         def work():
+            if lowered is None:
+                return
             try:
-                # dtype must match derive_posteriors' buffers (f32 on the
-                # fast path) or this compiles a program the run never uses
-                dt = jnp.float32 if fast else jnp.float64
-                state = jnp.zeros((walkers, self._ndim), dtype=dt)
-                chain_buf = jnp.zeros((max_steps, walkers, self._ndim), dtype=dt)
-                lp_buf = jnp.zeros((max_steps, walkers), dtype=dt)
-                steps = min(convergence_steps, max_steps)
-                self._segment_exec(fast, steps, jax.random.key(0), state, chain_buf, lp_buf)
+                seg = lowered.compile()
+                with self._segment_lock:
+                    self._segment_execs.setdefault(sig, seg)
             except Exception:
                 pass
 
@@ -808,9 +880,10 @@ class GPModelling:
             pad = (-m) % chunk
             if pad:
                 flat = np.concatenate([flat, np.broadcast_to(flat[:1], (pad, flat.shape[1]))])
+            ex = self._recompute_exec(chunk)
             out = []
             for start in range(0, flat.shape[0], chunk):
-                out.append(np.asarray(self._logprob_batch(jnp.asarray(flat[start : start + chunk]))))
+                out.append(np.asarray(ex(jnp.asarray(flat[start : start + chunk]))))
             self._loglikelihoods = np.concatenate(out)[:m]
         self._sampler = sampler
 

@@ -445,9 +445,16 @@ class _ChunkFitter:
         sig = (yb_j.shape, str(yb_j.dtype))
         if sig in self._execs:
             return self._execs[sig]
+        return self._compile_gated(
+            sig, lambda: self.runner.lower(key, yb_j, db_j, self.theta0, self.percent)
+        )
+
+    def _compile_gated(self, sig, lower_fn):
+        """Compile ``lower_fn()`` with the Pallas -> XLA fallback gate
+        and memoize the executable (None after a gate fallback)."""
         first = self._runner_fallback is not None
         try:
-            ex = self.runner.lower(key, yb_j, db_j, self.theta0, self.percent).compile()
+            ex = lower_fn().compile()
         except Exception as exc:
             if not first:
                 raise
@@ -469,15 +476,34 @@ class _ChunkFitter:
         fitters concurrently (and overlapping the generation program's
         compile in the main thread) removes most of it.  ``fit_chunk``
         joins the pending compile before running, so worker-thread
-        errors surface at the call site."""
+        errors surface at the call site.
+
+        The trace/lower step runs on the CALLING thread: tracing embeds
+        global-order-dependent symbol names in the module, so programs
+        traced concurrently hash to irreproducible persistent-cache keys
+        (gpmodelling._segment_lower has the full story).  Only the
+        backend compile — which overlaps near-perfectly across threads on
+        the remote runtime — goes to the worker."""
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
+        nb = min(self.chunk, max(int(total or self.chunk), 1))
+        yb = np.zeros((nb, self.n_points), dtype=dtype)
+        db = np.ones((nb, self.n_points), dtype=dtype)
+        yb_j, db_j = self._prep(yb, db, total)
+        key = jax.random.key(0)
+        sig = (yb_j.shape, str(yb_j.dtype))
+        try:
+            lowered = self.runner.lower(key, yb_j, db_j, self.theta0, self.percent)
+        except Exception:
+            lowered = None  # re-lower in the worker; the gate decides there
+
         def work():
-            nb = min(self.chunk, max(int(total or self.chunk), 1))
-            yb = np.zeros((nb, self.n_points), dtype=dtype)
-            db = np.ones((nb, self.n_points), dtype=dtype)
-            yb_j, db_j = self._prep(yb, db, total)
-            self._exec_for(jax.random.key(0), yb_j, db_j)
+            if sig in self._execs:
+                return
+            if lowered is None:
+                self._exec_for(key, yb_j, db_j)
+            else:
+                self._compile_gated(sig, lambda: lowered)
 
         self._pending = executor.submit(work)
 
@@ -678,20 +704,27 @@ def protassov_lrt(
         n_pts = int(lightcurve.n)
         t64_pre = jnp.asarray(lightcurve.times, dtype=jnp.float64)
         _mark("t64 device put done")
+        # Every precompile below LOWERS on this (main) thread and only
+        # submits the backend compile to the pool: concurrent tracing
+        # embeds racy symbol names in the modules, which makes the
+        # persistent-cache keys irreproducible across processes — every
+        # "warm" run was recompiling all of these (~25-40 s) until the
+        # lowers were serialized (gpmodelling._segment_lower).
         if pdf.lower() == "gaussian":
             # the E13 generator is a host-chunked loop, not one program;
             # only the fused Gaussian pipeline precompiles as a unit.
             # The dummy thetas carry the same sharding the real chunks
             # will (sharding is part of the compiled signature).
             gen_b = min(nsims, chunk, _GEN_CAP)
-
-            def _pre_gen():
-                th = jnp.zeros((gen_b, null_model._ndim), dtype=jnp.float64)
-                if fitter_null.mesh is not None and gen_b % fitter_null.n_dev == 0:
-                    th = shard_batch(th, fitter_null.mesh)
-                gen.lower(jax.random.key(0), jax.random.key(0), th).compile()
-
-            pre_pool.submit(_pre_gen)
+            th = jnp.zeros((gen_b, null_model._ndim), dtype=jnp.float64)
+            if fitter_null.mesh is not None and gen_b % fitter_null.n_dev == 0:
+                th = shard_batch(th, fitter_null.mesh)
+            try:
+                gen_lowered = gen.lower(jax.random.key(0), jax.random.key(0), th)
+            except Exception:
+                gen_lowered = None
+            if gen_lowered is not None:
+                pre_pool.submit(gen_lowered.compile)
         if refine_f64:
             n_chunks_pre = -(-n_rows // chunk)
             nb_last = n_rows - (n_chunks_pre - 1) * chunk
@@ -701,7 +734,7 @@ def protassov_lrt(
                 else nb_last + fitter_null.pad_rows(nb_last, n_rows)
             )
 
-            def _pre_refine(kern, d):
+            def _lower_refine(kern, d):
                 th = jnp.zeros((rows, d), dtype=sim_dtype)
                 ys = jnp.zeros((rows, n_pts), dtype=jnp.float64)
                 ds = jnp.zeros((rows, n_pts), dtype=jnp.float64)
@@ -713,24 +746,22 @@ def protassov_lrt(
                     th = shard_batch(th, fitter_null.mesh)
                     ys = shard_batch(ys, fitter_null.mesh)
                     ds = shard_batch(ds, fitter_null.mesh)
-                _f64_logprob_chunk_from_dy.lower(
-                    th, t64_pre, ys, ds, kernel=kern
-                ).compile()
+                return _f64_logprob_chunk_from_dy.lower(th, t64_pre, ys, ds, kernel=kern)
 
-            pre_pool.submit(_pre_refine, null_kernel, null_kernel.ndim)
-            pre_pool.submit(_pre_refine, alt_kernel, alt_kernel.ndim)
+            for kern, d in ((null_kernel, null_kernel.ndim), (alt_kernel, alt_kernel.ndim)):
+                try:
+                    refine_lowered = _lower_refine(kern, d)
+                except Exception:
+                    refine_lowered = None
+                if refine_lowered is not None:
+                    pre_pool.submit(refine_lowered.compile)
         if observed_fast is not False and jax.default_backend() == "tpu":
             # derive_posteriors' end-of-run f64 recompute (one padded
             # 4096-row program per model on the fast path)
-            def _pre_recompute(model):
-                model._logprob_batch.lower(
-                    jnp.zeros((4096, model._ndim), dtype=jnp.float64)
-                ).compile()
-
             if need_null:
-                pre_pool.submit(_pre_recompute, null_model)
+                null_model.precompile_recompute(pre_pool)
             if need_alt:
-                pre_pool.submit(_pre_recompute, alt_model)
+                alt_model.precompile_recompute(pre_pool)
         # the observed-fit segment programs: start their compiles now so
         # they overlap the MAP fits and the bootstrap-program compiles
         for model, need in ((null_model, need_null), (alt_model, need_alt)):
