@@ -315,6 +315,34 @@ def test_derive_posteriors_fast_linear_mean(drw_lightcurve):
     assert gp.mcmc_samples.shape[1] == gp.k
 
 
+def test_precompile_sampler_matches_runtime_program(drw_lightcurve):
+    """precompile_sampler must compile the EXACT program derive_posteriors
+    then dispatches (same signature incl. the fast path's f32 buffers) —
+    a dtype/shape mismatch would silently compile a program the run never
+    uses and pay the full segment compile again at runtime."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    lc, (ls0, lw0) = drw_lightcurve
+    for fast in (False, True):
+        kernel = DampedRandomWalk(log_S0=ls0, log_omega0=lw0, bounds=[(-5, 10), (-8, 2)])
+        gp = GPModelling(lc, kernel)
+        with ThreadPoolExecutor(1) as pool:
+            fut = gp.precompile_sampler(pool, max_steps=60, convergence_steps=30,
+                                        walkers=8, fast=fast)
+            fut.result()
+        assert len(gp._segment_execs) == 1, "precompile produced no usable program"
+        (sig,) = gp._segment_execs
+        gp.derive_posteriors(fit=False, converge=False, max_steps=60,
+                             convergence_steps=30, walkers=8, seed=5, fast=fast)
+        assert list(gp._segment_execs) == [sig], (
+            f"derive_posteriors(fast={fast}) compiled a second segment program: "
+            f"{list(gp._segment_execs)}"
+        )
+        # the f64 recompute executable is memoized too (fast path only)
+        if fast:
+            assert list(gp._recompute_execs) == [4096]
+
+
 def test_fit_device_matches_scipy(drw_lightcurve):
     """The on-device projected L-BFGS must land on the same MAP point as
     the host scipy L-BFGS-B (smooth interior optimum)."""
