@@ -43,54 +43,12 @@ REFERENCE_CORES = 12
 CELERITE_PUBLISHED_EVALS_PER_SEC_PER_CORE = 670.0  # ~1.5 ms at N~5k, J~2-4 (FM+17 fig. scaling)
 
 
-def numpy_celerite_loglike(coeffs, t, y, diag):
-    """Pure-numpy celerite log-likelihood: the Foreman-Mackey+17 §5
-    Cholesky recursion with local-phase (rotation-propagator) generators,
-    matching solver/batched.py's formulation.  O(N R^2), Python loop."""
-    ar, cr, ac, bc, cc, dc = [np.asarray(x, dtype=np.float64) for x in coeffs]
-    jr, jc = len(ar), len(ac)
-    r = jr + 2 * jc
-    n = len(t)
-    u = np.concatenate([ar, np.stack([ac, bc], 1).ravel()]) if jc else ar.copy()
-    v = np.concatenate([np.ones(jr), np.stack([np.ones(jc), np.zeros(jc)], 1).ravel()])
-    k0 = ar.sum() + ac.sum()
-    a = diag + k0
-    dt = np.diff(t)
+import os
+import sys
 
-    s = np.zeros((r, r))
-    d_prev = a[0]
-    w_prev = v / d_prev
-    f = np.zeros(r)
-    z_prev = y[0]
-    logdet = np.log(d_prev)
-    quad = z_prev * z_prev / d_prev
-    p = np.zeros((r, r))
-    for nn in range(1, n):
-        h = dt[nn - 1]
-        # block-diagonal propagator: exp(-c h) (real), decay-rotation (complex)
-        p[:, :] = 0.0
-        for j in range(jr):
-            p[j, j] = np.exp(-cr[j] * h)
-        for j in range(jc):
-            e = np.exp(-cc[j] * h)
-            cs, sn = np.cos(dc[j] * h), np.sin(dc[j] * h)
-            i0 = jr + 2 * j
-            p[i0, i0] = e * cs
-            p[i0, i0 + 1] = -e * sn
-            p[i0 + 1, i0] = e * sn
-            p[i0 + 1, i0 + 1] = e * cs
-        s = p @ (s + d_prev * np.outer(w_prev, w_prev)) @ p.T
-        su = s @ u
-        d_n = a[nn] - u @ su
-        if d_n <= 0:
-            return -np.inf
-        w_n = (v - su) / d_n
-        f = p @ (f + w_prev * z_prev)
-        z = y[nn] - u @ f
-        logdet += np.log(d_n)
-        quad += z * z / d_n
-        d_prev, w_prev, z_prev = d_n, w_n, z
-    return -0.5 * (quad + logdet + n * np.log(2.0 * np.pi))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mind_the_gaps_tpu.solver.numpy_ref import numpy_log_likelihood as numpy_celerite_loglike  # noqa: E402
 
 
 def main():

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import threading
 import warnings
+from contextlib import nullcontext as _nullcontext
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -180,16 +181,50 @@ class GPModelling:
         self._build_functions()
         # validate the kernel at the initial parameters (the reference's
         # gp.compute would raise here for an invalid kernel).  The check
-        # runs through the MAP-fit objective (CPU-offloaded on remote
-        # backends): its compile is reused by fit(), whereas the
-        # accelerator-side f64 single-eval program would be compiled
-        # here only to be abandoned by the fast sampler path.
+        # runs through the COMPILE-FREE numpy recursion
+        # (solver/numpy_ref.py, exact f64, ~0.26 s at N=5k): compiling
+        # the MAP objective here cost ~10-12 s of XLA-CPU value_and_grad
+        # compile per process — this environment's persistent cache can
+        # not reload XLA:CPU executables across hosts, so every run paid
+        # it at construction.  The MAP objective is traced/LOWERED here
+        # (on the constructing thread, keeping persistent-cache keys
+        # deterministic — see _segment_lower) and backend-compiled
+        # lazily by fit() or concurrently via precompile_fit().
         th0 = jnp.asarray(self.initial_params, dtype=jnp.float64)
         if self._map_device is not None:
             th0 = jax.device_put(th0, self._map_device)
-        nll0, _ = self._nll_and_grad(th0)
-        if not np.isfinite(float(nll0)):
+        self._nll_lowered = self._nll_and_grad.lower(th0)
+        self._nll_exec = None
+        self._nll_pending = None
+        if not np.isfinite(self._numpy_loglike(np.asarray(self.initial_params, dtype=np.float64))):
             warnings.warn("GP log-likelihood is not finite at the initial parameters")
+
+    def _numpy_loglike(self, theta) -> float:
+        """One exact f64 log-likelihood evaluation with NO compile: tiny
+        per-theta quantities evaluate eagerly on the local CPU backend
+        and the O(N R^2) recursion runs in numpy."""
+        from mind_the_gaps_tpu.solver.numpy_ref import numpy_log_likelihood
+
+        theta = np.asarray(theta, dtype=np.float64)
+        th_k = theta[: self._nk]
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+        with ctx:
+            coeffs = tuple(np.asarray(c) for c in self.kernel.coefficients(jnp.asarray(th_k)))
+            jitter = float(self.kernel.jitter(jnp.asarray(th_k)))
+            t_np = np.asarray(self._lightcurve.times, dtype=np.float64)
+            if self.fit_mean:
+                mean = np.asarray(self.mean_model.value(jnp.asarray(t_np), jnp.asarray(theta[self._nk:])))
+            else:
+                mean = np.asarray(
+                    self.mean_model.value(jnp.asarray(t_np), jnp.asarray(self.mean_model.get_parameter_vector()))
+                )
+        y = np.asarray(self._lightcurve.y, dtype=np.float64) - mean
+        diag = np.asarray(self._diag_base, dtype=np.float64) + jitter
+        return float(numpy_log_likelihood(coeffs, t_np, y, diag))
 
     # ------------------------------------------------------------------ #
     def _build_mean_model(self, meanmodel: Optional[str]) -> Tuple[MeanModel, bool]:
@@ -408,18 +443,46 @@ class GPModelling:
         return -float(self._loglike_jit(jnp.asarray(params, dtype=jnp.float64)))
 
     # ------------------------------------------------------------------ #
+    def _nll_exec_fn(self):
+        """The compiled MAP objective: joins a pending precompile_fit()
+        compile, else compiles the module lowered at construction."""
+        if self._nll_exec is None:
+            pending, self._nll_pending = self._nll_pending, None
+            if pending is not None:
+                pending.result()
+            if self._nll_exec is None:
+                self._nll_exec = self._nll_lowered.compile()
+        return self._nll_exec
+
+    def precompile_fit(self, executor):
+        """Backend-compile the MAP objective (lowered at construction)
+        on a worker thread — pure compile, no tracing, so it is safe to
+        run concurrently (see _segment_lower)."""
+
+        def work():
+            try:
+                ex = self._nll_lowered.compile()
+                if self._nll_exec is None:
+                    self._nll_exec = ex
+            except Exception:
+                pass  # fit() re-attempts and surfaces the error
+
+        self._nll_pending = executor.submit(work)
+        return self._nll_pending
+
     def fit(self, initial_params=None):
         """MAP fit with L-BFGS-B under the parameter bounds
         (reference gpmodelling.py:172-194), with exact jax gradients."""
         if initial_params is None:
             initial_params = self.initial_params
+        nll_and_grad = self._nll_exec_fn()
 
         def fun(x):
             if self._map_device is not None:
                 xj = jax.device_put(np.asarray(x, dtype=float), self._map_device)
             else:
                 xj = jnp.asarray(x)
-            v, g = self._nll_and_grad(xj)
+            v, g = nll_and_grad(xj)
             v = float(v)
             g = np.asarray(g, dtype=float)
             if not np.isfinite(v):

@@ -770,6 +770,11 @@ def protassov_lrt(
                     pre_pool, max_steps=observed_max_steps,
                     walkers=observed_walkers, fast=observed_fast,
                 )
+                if fit_observed:
+                    # the MAP objective was lowered at construction;
+                    # its XLA-CPU compile (~10 s, not reloadable from
+                    # the cache on this runtime) overlaps everything too
+                    model.precompile_fit(pre_pool)
         pre_pool.shutdown(wait=False)
         _mark("cold compiles submitted")
 

@@ -280,3 +280,28 @@ def test_predict_at_scaling_in_m():
     t200 = timed(200)
     t2000 = timed(2000)
     assert t2000 < 4.0 * t200, (t200, t2000)
+
+
+@pytest.mark.parametrize("name,term", TERMS, ids=[n for n, _ in TERMS])
+def test_numpy_ref_loglike_parity(name, term):
+    """solver/numpy_ref.py (the compile-free tier GPModelling validates
+    kernels with) must match the dense numpy/scipy ground truth."""
+    from mind_the_gaps_tpu.solver.numpy_ref import numpy_log_likelihood
+
+    t = _irregular_times(150, seed=zlib.crc32(name.encode()) % 2**31)
+    rng = np.random.default_rng(3)
+    y = rng.normal(0.0, 1.0, t.shape[0])
+    diag = rng.uniform(0.05, 0.2, t.shape[0])
+    coeffs = tuple(np.asarray(c) for c in term.coefficients())
+    ll_np = numpy_log_likelihood(coeffs, t, y, diag)
+    assert abs(ll_np - _np_loglike(term, t, y, diag)) < 1e-8 * max(1.0, abs(ll_np))
+
+
+def test_numpy_ref_non_pd_returns_neginf():
+    from mind_the_gaps_tpu.solver.numpy_ref import numpy_log_likelihood
+
+    term = ComplexTerm(log_a=0.1, log_b=5.0, log_c=-1.0, log_d=0.5)  # b >> a: invalid
+    t = _irregular_times(60)
+    y = np.zeros(60)
+    coeffs = tuple(np.asarray(c) for c in term.coefficients())
+    assert numpy_log_likelihood(coeffs, t, y, np.full(60, 1e-8)) == -np.inf
