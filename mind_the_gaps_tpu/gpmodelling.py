@@ -620,17 +620,59 @@ class GPModelling:
         persistent compilation cache hashes the serialized module, so a
         racy trace produces a key that never matches across processes.
         Measured: every "warm" LRT run recompiled all four big programs
-        (~25-40 s) until lowering was serialized."""
+        (~25-40 s) until lowering was serialized.
+
+        Warm processes skip even the trace: the traced program persists
+        as an on-disk exported artifact (program_cache.py) keyed by the
+        model's data/kernel signature."""
+        from mind_the_gaps_tpu.program_cache import lower_via_cache
+
         logprob_fn = self._logprob_batch_fast if fast else self._logprob_batch
-        return _advance_segment.lower(
-            key, state, chain_buf, lp_buf, jnp.asarray(0, dtype=jnp.int32),
-            log_prob_fn=logprob_fn, n_steps=int(n_steps),
+        args = (key, state, chain_buf, lp_buf, jax.ShapeDtypeStruct((), jnp.int32))
+        sig = f"advance_segment|fast={bool(fast)}|steps={int(n_steps)}|{self._program_signature()}"
+        return lower_via_cache(
+            sig, _advance_segment, args,
+            static_kwargs=dict(log_prob_fn=logprob_fn, n_steps=int(n_steps)),
         )
+
+    def _program_signature(self) -> str:
+        """Stable description of everything this instance's traced
+        programs close over — the data series (embedded in the programs
+        as constants), the kernel structure/bounds, and the mean model.
+        Used to key on-disk exported-program artifacts (program_cache.py):
+        two instances with equal signatures trace byte-equivalent
+        programs for equal shapes, so an artifact may be shared."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for arr in (
+            np.asarray(self._lightcurve.times, dtype=np.float64),
+            np.asarray(self._lightcurve.y, dtype=np.float64),
+            np.asarray(self._diag_base, dtype=np.float64),
+        ):
+            h.update(arr.tobytes())
+        h.update(repr([type(t).__name__ for t in self.kernel.terms]).encode())
+        h.update(repr(self.kernel.get_parameter_names()).encode())
+        h.update(repr([(float(lo), float(hi)) for lo, hi in np.asarray(
+            [(b[0] if b[0] is not None else -np.inf, b[1] if b[1] is not None else np.inf)
+             for b in self.kernel.get_parameter_bounds()], dtype=np.float64)]).encode())
+        h.update(type(self.mean_model).__name__.encode())
+        h.update(repr(bool(self.fit_mean)).encode())
+        h.update(np.asarray(self.mean_model.get_parameter_vector(), dtype=np.float64).tobytes())
+        if self.fit_mean:
+            h.update(repr([(float(lo) if lo is not None else None, float(hi) if hi is not None else None)
+                           for lo, hi in self.mean_model.get_parameter_bounds()]).encode())
+        return h.hexdigest()
 
     def _recompute_lower(self, rows: int = 4096):
         """Lower the fast path's end-of-run f64 recompute program (one
-        padded ``rows``-row batch through the XLA f64 log-prob)."""
-        return self._logprob_batch.lower(jnp.zeros((rows, self._ndim), dtype=jnp.float64))
+        padded ``rows``-row batch through the XLA f64 log-prob); loads a
+        pre-traced on-disk artifact when one matches (program_cache.py)."""
+        from mind_the_gaps_tpu.program_cache import lower_via_cache
+
+        args = (jax.ShapeDtypeStruct((rows, self._ndim), jnp.float64),)
+        sig = f"recompute|{rows}|{self._ndim}|{self._program_signature()}"
+        return lower_via_cache(sig, self._logprob_batch, args)
 
     def _recompute_exec(self, rows: int = 4096):
         """AOT executable of the f64 recompute, memoized per row count.
@@ -703,17 +745,19 @@ class GPModelling:
             fast = jax.default_backend() == "tpu"
 
         # dtype must match derive_posteriors' buffers (f32 on the
-        # fast path) or this compiles a program the run never uses
+        # fast path) or this compiles a program the run never uses.
+        # ShapeDtypeStructs, not real buffers: lowering needs avals only,
+        # and eager dummy allocations cost a device roundtrip each on the
+        # remote runtime.
         dt = jnp.float32 if fast else jnp.float64
-        state = jnp.zeros((walkers, self._ndim), dtype=dt)
-        chain_buf = jnp.zeros((max_steps, walkers, self._ndim), dtype=dt)
-        lp_buf = jnp.zeros((max_steps, walkers), dtype=dt)
+        key_aval = jax.eval_shape(lambda: jax.random.key(0))
+        state = jax.ShapeDtypeStruct((walkers, self._ndim), dt)
+        chain_buf = jax.ShapeDtypeStruct((max_steps, walkers, self._ndim), dt)
+        lp_buf = jax.ShapeDtypeStruct((max_steps, walkers), dt)
         steps = min(convergence_steps, max_steps)
         sig = self._segment_sig(fast, steps, state, chain_buf)
         try:
-            lowered = self._segment_lower(
-                fast, steps, jax.random.key(0), state, chain_buf, lp_buf
-            )
+            lowered = self._segment_lower(fast, steps, key_aval, state, chain_buf, lp_buf)
         except Exception:
             lowered = None  # derive_posteriors re-attempts and gates
 

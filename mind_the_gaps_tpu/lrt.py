@@ -108,6 +108,17 @@ _square_err = jax.jit(lambda d: (d + 1e-12) ** 2)
 _GEN_CAP = GEN_CHUNK
 
 
+def _kernel_sig(kernel) -> str:
+    """Stable description of a kernel's traced structure: term classes,
+    parameter names, prior bounds (program_cache.py keying)."""
+    return repr((
+        [type(tm).__name__ for tm in kernel.terms],
+        kernel.get_parameter_names(),
+        [(None if b[0] is None else float(b[0]), None if b[1] is None else float(b[1]))
+         for b in kernel.get_parameter_bounds()],
+    ))
+
+
 def _pad_cyclic(arrs, rem: int):
     """Cyclically pad each (nb, ...) array by ``rem`` rows (rem may
     exceed nb); numpy stays numpy, device arrays stay on device."""
@@ -400,6 +411,30 @@ class _ChunkFitter:
         self.g_align = 128 if use_pallas else 1
         self._execs = {}
         self._pending = None
+        # on-disk exported-program key (program_cache.py): everything the
+        # runner closes over — times (a trace constant), kernel structure
+        # and bounds, and the static chain config.  theta0/percent/data
+        # are runtime arguments.  Only used when mesh is None (exported
+        # artifacts carry no sharding context).
+        import hashlib
+
+        h = hashlib.sha256(np.asarray(times, dtype=np.float64).tobytes())
+        h.update(_kernel_sig(kernel).encode())
+        self._prog_sig = (
+            f"chunk_fitter|{h.hexdigest()}|w={walkers}|s={n_steps}|"
+            f"es={early_stop}|pallas={use_pallas}|dt={None if dtype is None else jnp.dtype(dtype).name}"
+        )
+
+    def _lowered_runner(self, key, yb_j, db_j):
+        """Lowered(-like) runner program; pre-traced artifact when
+        single-device (see program_cache.py)."""
+        if self.mesh is None:
+            from mind_the_gaps_tpu.program_cache import lower_via_cache
+
+            return lower_via_cache(
+                self._prog_sig, self.runner, (key, yb_j, db_j, self.theta0, self.percent)
+            )
+        return self.runner.lower(key, yb_j, db_j, self.theta0, self.percent)
 
     def pad_rows(self, nb: int, total: Optional[int] = None) -> int:
         """Rows of cyclic padding for a chunk of nb lightcurves.
@@ -445,9 +480,7 @@ class _ChunkFitter:
         sig = (yb_j.shape, str(yb_j.dtype))
         if sig in self._execs:
             return self._execs[sig]
-        return self._compile_gated(
-            sig, lambda: self.runner.lower(key, yb_j, db_j, self.theta0, self.percent)
-        )
+        return self._compile_gated(sig, lambda: self._lowered_runner(key, yb_j, db_j))
 
     def _compile_gated(self, sig, lower_fn):
         """Compile ``lower_fn()`` with the Pallas -> XLA fallback gate
@@ -487,13 +520,22 @@ class _ChunkFitter:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
         nb = min(self.chunk, max(int(total or self.chunk), 1))
-        yb = np.zeros((nb, self.n_points), dtype=dtype)
-        db = np.ones((nb, self.n_points), dtype=dtype)
-        yb_j, db_j = self._prep(yb, db, total)
-        key = jax.random.key(0)
+        if self.mesh is None:
+            # avals only: lowering needs no real buffers, and eagerly
+            # materializing two (chunk, N) dummies costs device
+            # roundtrips on the remote runtime
+            rows = nb + self.pad_rows(nb, total)
+            yb_j = jax.ShapeDtypeStruct((rows, self.n_points), dtype)
+            db_j = jax.ShapeDtypeStruct((rows, self.n_points), dtype)
+            key = jax.eval_shape(lambda: jax.random.key(0))
+        else:
+            yb = np.zeros((nb, self.n_points), dtype=dtype)
+            db = np.ones((nb, self.n_points), dtype=dtype)
+            yb_j, db_j = self._prep(yb, db, total)
+            key = jax.random.key(0)
         sig = (yb_j.shape, str(yb_j.dtype))
         try:
-            lowered = self.runner.lower(key, yb_j, db_j, self.theta0, self.percent)
+            lowered = self._lowered_runner(key, yb_j, db_j)
         except Exception:
             lowered = None  # re-lower in the worker; the gate decides there
 
@@ -716,11 +758,14 @@ def protassov_lrt(
             # The dummy thetas carry the same sharding the real chunks
             # will (sharding is part of the compiled signature).
             gen_b = min(nsims, chunk, _GEN_CAP)
-            th = jnp.zeros((gen_b, null_model._ndim), dtype=jnp.float64)
             if fitter_null.mesh is not None and gen_b % fitter_null.n_dev == 0:
-                th = shard_batch(th, fitter_null.mesh)
+                th = shard_batch(jnp.zeros((gen_b, null_model._ndim), dtype=jnp.float64), fitter_null.mesh)
+                k_aval = jax.random.key(0)
+            else:
+                th = jax.ShapeDtypeStruct((gen_b, null_model._ndim), jnp.float64)
+                k_aval = jax.eval_shape(lambda: jax.random.key(0))
             try:
-                gen_lowered = gen.lower(jax.random.key(0), jax.random.key(0), th)
+                gen_lowered = gen.lower(k_aval, k_aval, th)
             except Exception:
                 gen_lowered = None
             if gen_lowered is not None:
@@ -735,6 +780,12 @@ def protassov_lrt(
             )
 
             def _lower_refine(kern, d):
+                if fitter_null.mesh is None:
+                    # avals only — no dummy device buffers
+                    th = jax.ShapeDtypeStruct((rows, d), sim_dtype)
+                    ys = jax.ShapeDtypeStruct((rows, n_pts), jnp.float64)
+                    ds = jax.ShapeDtypeStruct((rows, n_pts), jnp.float64)
+                    return _f64_logprob_chunk_from_dy.lower(th, t64_pre, ys, ds, kernel=kern)
                 th = jnp.zeros((rows, d), dtype=sim_dtype)
                 ys = jnp.zeros((rows, n_pts), dtype=jnp.float64)
                 ds = jnp.zeros((rows, n_pts), dtype=jnp.float64)
@@ -746,6 +797,10 @@ def protassov_lrt(
                     th = shard_batch(th, fitter_null.mesh)
                     ys = shard_batch(ys, fitter_null.mesh)
                     ds = shard_batch(ds, fitter_null.mesh)
+                # NOT export-cached: the chunk loop re-dispatches this as
+                # a jit call, which must reuse THIS trace in-process — an
+                # export wrapper here would leave the runtime dispatch
+                # compiling the direct program from scratch.
                 return _f64_logprob_chunk_from_dy.lower(th, t64_pre, ys, ds, kernel=kern)
 
             for kern, d in ((null_kernel, null_kernel.ndim), (alt_kernel, alt_kernel.ndim)):
