@@ -11,7 +11,7 @@ at this N (tests/test_mixed_precision.py); the run also cross-checks
 that agreement on a small batch and refuses to report if it fails.
 
 Second metric (same JSON line, extra keys): the measured wall-clock of
-one production bootstrap chunk — 512 simulated lightcurves x 16 walkers
+one production bootstrap chunk — 512 simulated lightcurves x 12 walkers
 x 500 stretch-move steps, refit with BOTH the null (DRW) and the
 alternative (DRW+QPO) kernel — scaled to the full 10,000-simulation
 Protassov bootstrap.  ``bootstrap_10k_seconds`` is that scaled
@@ -162,7 +162,7 @@ def main():
     print(json.dumps(record))
 
 
-def _bootstrap_chunk_seconds(t, y, diag, chunk_sims=512, walkers=16, n_steps=500, nsims_total=10_000):
+def _bootstrap_chunk_seconds(t, y, diag, chunk_sims=512, walkers=12, n_steps=500, nsims_total=10_000):
     """Time one production bootstrap chunk (null + alternative refits) and
     scale to the 10k-sim Protassov bootstrap.
 

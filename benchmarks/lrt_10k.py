@@ -3,7 +3,7 @@
 The headline production scenario (BASELINE.md): N = 5,000-point
 lightcurve, null = DRW, alternative = DRW + Lorentzian (QPO),
 ``--nsims`` (default 10,000) posterior-predictive simulations refit with
-both models (16 walkers x 500 steps each), observed fits 32 walkers x
+both models (12 walkers x 500 steps each), observed fits 32 walkers x
 up to 10,000 steps.  Prints one JSON line with the total and the
 observed-fit / bootstrap split.
 
@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--observed-max-steps", type=int, default=10_000)
     ap.add_argument("--observed-walkers", type=int, default=32)
     ap.add_argument("--sim-steps", type=int, default=500)
-    ap.add_argument("--sim-walkers", type=int, default=16)
+    ap.add_argument("--sim-walkers", type=int, default=12)
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--pdf", default="Gaussian")
     ap.add_argument("--seed", type=int, default=0)

@@ -375,7 +375,7 @@ class _ChunkFitter:
     """
 
     def __init__(
-        self, kernel, times, theta0, walkers=16, n_steps=500, percent=0.1,
+        self, kernel, times, theta0, walkers=12, n_steps=500, percent=0.1,
         chunk=512, dtype=None, backend="auto", spmd="gspmd", use_mesh=True,
         early_stop=None,
     ):
@@ -570,7 +570,7 @@ def fit_lightcurves_batch(
     ys,
     dys,
     theta0,
-    walkers: int = 16,
+    walkers: int = 12,
     n_steps: int = 500,
     percent: float = 0.1,
     chunk: int = 512,
@@ -627,7 +627,7 @@ def protassov_lrt(
     observed_max_steps: int = 10000,
     observed_walkers: int = 32,
     sim_max_steps: int = 500,
-    sim_walkers: int = 16,
+    sim_walkers: int = 12,
     sim_dtype="float32",
     chunk: int = 512,
     seed: int = 0,
@@ -672,6 +672,11 @@ def protassov_lrt(
     calibrated (examples/validation_pvalue_calibration.py).  The
     posterior-chain T and its p-value are still reported as
     ``t_obs_posterior`` / ``p_value_posterior`` for reference parity.
+
+    ``sim_walkers`` (default 12) matches the reference's refit ensembles
+    (derive_posteriors walkers=12, reference gpmodelling.py:204; the
+    tutorial notebooks use nwalkers=12), and the calibration and
+    detection-power studies (examples/validation_*.py) run at 12.
 
     ``sim_early_stop`` (default ``(tol=0.01, patience=50)``): on-device
     plateau rule for the short-chain refits — each chunk's step loop
