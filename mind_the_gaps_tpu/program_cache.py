@@ -121,9 +121,29 @@ def exported_or_trace(signature: str, export_thunk):
             with open(tmp, "wb") as f:
                 f.write(blob)
             os.replace(tmp, path)
+            _prune(os.path.dirname(path))
         except Exception:
             pass  # cache write failures never break the pipeline
     return exported
+
+
+_MAX_ARTIFACTS = 256
+
+
+def _prune(d: str) -> None:
+    """Bound the artifact directory: artifacts key on data hashes, so a
+    survey over many lightcurves would grow it without bound.  Keep the
+    newest _MAX_ARTIFACTS by mtime."""
+    entries = [e for e in os.listdir(d) if e.endswith(".jaxprog")]
+    if len(entries) <= _MAX_ARTIFACTS:
+        return
+    paths = [os.path.join(d, e) for e in entries]
+    paths.sort(key=lambda p: os.path.getmtime(p), reverse=True)
+    for p in paths[_MAX_ARTIFACTS:]:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
 
 
 class _CompilableExported:
