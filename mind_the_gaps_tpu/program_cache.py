@@ -74,13 +74,19 @@ def _artifact_path(signature: str) -> Optional[str]:
     d = program_cache_dir()
     if d is None:
         return None
+    try:
+        import jaxlib
+
+        jaxlib_version = getattr(jaxlib, "__version__", "unknown")
+    except ImportError:  # pragma: no cover
+        jaxlib_version = "none"
     key = hashlib.sha256(
         "|".join(
             [
                 signature,
                 _package_fingerprint(),
                 jax.__version__,
-                getattr(jax, "jaxlib", jax).__name__,
+                jaxlib_version,
                 jax.default_backend(),
                 str(len(jax.devices())),
                 str(jax.config.jax_enable_x64),
