@@ -1,0 +1,91 @@
+"""p-value calibration of the ACTUAL protassov_lrt user pipeline.
+
+validation_pvalue_calibration.py batches K experiments through the
+grouped fitter programs directly — fast, but it bypasses the user-facing
+orchestration (observed MCMC fits with the f32 segment programs, MAP
+fits, posterior-predictive generation from the fitted null's chains,
+per-chunk bootstrap, matched-estimator plumbing).  This script runs K
+COMPLETE ``protassov_lrt`` calls on independent null-true datasets —
+exactly what a user executes — and KS-tests the p-values against
+Uniform(0,1).
+
+Slower per experiment (each dataset compiles its own observed-fit
+programs: the data series is a trace constant), so K is modest; run it
+as the release check after changes to the observed-fit path.
+
+Run: python examples/validation_full_pipeline_calibration.py [--k 12]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+from scipy.stats import kstest
+
+from mind_the_gaps_tpu import GappyLightcurve
+from mind_the_gaps_tpu.kernels import DampedRandomWalk, Lorentzian
+from mind_the_gaps_tpu.lrt import protassov_lrt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=12, help="independent experiments")
+    ap.add_argument("--nsims", type=int, default=127)
+    ap.add_argument("--n", type=int, default=400)
+    ap.add_argument("--observed-max-steps", type=int, default=2000)
+    ap.add_argument("--observed-walkers", type=int, default=12)
+    ap.add_argument("--sim-steps", type=int, default=300)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    t0_all = time.time()
+
+    n = args.n
+    times = np.cumsum(rng.uniform(2.0, 8.0, n))
+    sigma = 0.3
+    true_S0, true_w0 = 4.0, 0.05
+    tau = np.abs(times[:, None] - times[None, :])
+
+    null_k0 = DampedRandomWalk(np.log(true_S0), np.log(true_w0), bounds=[(-5, 8), (-8, 2)])
+    K_true = np.array(null_k0.covariance(tau)) + np.diag(np.full(n, sigma**2))
+    L = np.linalg.cholesky(K_true)
+
+    ps = []
+    for k in range(args.k):
+        y = 10.0 + L @ rng.normal(size=n)
+        lc = GappyLightcurve(times, y, np.full(n, sigma), exposures=1.0)
+        null_kernel = DampedRandomWalk(np.log(true_S0), np.log(true_w0), bounds=[(-5, 8), (-8, 2)])
+        alt_kernel = DampedRandomWalk(np.log(true_S0), np.log(true_w0), bounds=[(-5, 8), (-8, 2)]) + Lorentzian(
+            -1.0, 2.0, -1.5, bounds=[(-8, 5), (0, 6), (-5, 0)]
+        )
+        res = protassov_lrt(
+            lc, null_kernel, alt_kernel, nsims=args.nsims, seed=1000 + k,
+            observed_max_steps=args.observed_max_steps,
+            observed_walkers=args.observed_walkers,
+            sim_max_steps=args.sim_steps, chunk=args.nsims + 1,
+        )
+        ps.append(res.p_value)
+        print(f"[{time.time()-t0_all:6.0f}s] experiment {k + 1}/{args.k}: "
+              f"T_obs={res.t_obs:.2f} p={res.p_value:.3f}", flush=True)
+
+    ps = np.asarray(ps)
+    ks = kstest(ps, "uniform")
+    print("\np-values:", np.array2string(np.sort(ps), precision=3))
+    print(f"KS vs Uniform(0,1): D = {ks.statistic:.3f}, p = {ks.pvalue:.3f}")
+    print(json.dumps({
+        "metric": "full_pipeline_calibration_ks_pvalue", "value": round(float(ks.pvalue), 3),
+        "k": args.k, "nsims": args.nsims, "wall_s": round(time.time() - t0_all, 1),
+    }))
+    if ks.pvalue < 0.01:
+        print("WARNING: calibration rejected at 1% — investigate")
+    else:
+        print("calibration OK (uniformity not rejected)")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,10 @@ The reference leaves this pipeline to notebooks
 3. re-fit BOTH models to every synthetic lightcurve and record each
    fit's maximum log-likelihood,
 4. T = -2 (logL_null - logL_alt); the p-value is the tail fraction of
-   the simulated T distribution at the observed T.
+   the simulated T distribution at the observed T (the reference
+   notebook's percentileofscore convention: a reported p of exactly 0
+   means T_obs exceeded every simulated T, i.e. p < 1/nsims — the
+   +1-corrected Monte Carlo estimate would be 1/(nsims+1)).
 
 Step 3 — the reference's wall-clock killer, run one process per
 lightcurve — is here one jitted program: (nsims x walkers) stretch-move
