@@ -54,6 +54,8 @@ for name, kern in (("null(D=2)", null_kernel), ("alt(D=5)", alt_kernel)):
     gp = GPModelling(lc, kern)
     D = gp._ndim
     logprob = gp._logprob_batch_fast
+    logprob_d = gp._logprob_batch_fast_d
+    model = gp
     state = jnp.zeros((WALKERS, D))
     chain_buf = jnp.zeros((MAX_STEPS, WALKERS, D))
     lp_buf = jnp.zeros((MAX_STEPS, WALKERS))
@@ -81,6 +83,7 @@ for name, kern in (("null(D=2)", null_kernel), ("alt(D=5)", alt_kernel)):
     # 4. the full segment program (what derive_posteriors compiles)
     def seg():
         return _advance_segment.lower(
-            key, state, chain_buf, lp_buf, off, log_prob_fn=logprob, n_steps=SEG
+            key, state, chain_buf, lp_buf, off, *model._seg_data(),
+            log_prob_fn=logprob_d, n_steps=SEG
         ).compile()
     timed(f"{name} FULL _advance_segment", seg)

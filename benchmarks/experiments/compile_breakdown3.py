@@ -84,8 +84,8 @@ for name, kern in (("null", null_kernel), ("alt", alt_kernel)):
     timed(f"segment program {name} (500 steps)",
           lambda: _advance_segment.lower(
               jax.random.key(0), state, chain_buf, lp_buf,
-              jnp.asarray(0, dtype=jnp.int32),
-              log_prob_fn=gp._logprob_batch_fast, n_steps=500).compile())
+              jnp.asarray(0, dtype=jnp.int32), *gp._seg_data(),
+              log_prob_fn=gp._logprob_batch_fast_d, n_steps=500).compile())
     timed(f"obs f64 recompute {name} (4096 rows)",
           lambda: gp._logprob_batch.lower(
               jnp.zeros((4096, D), dtype=jnp.float64)).compile())

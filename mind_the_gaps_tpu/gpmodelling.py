@@ -59,7 +59,7 @@ GEN_CHUNK = 512
 @partial(
     jax.jit, static_argnames=("log_prob_fn", "n_steps")
 )
-def _advance_segment(key, state, chain_buf, lp_buf, offset, *, log_prob_fn, n_steps):
+def _advance_segment(key, state, chain_buf, lp_buf, offset, t, y, diag, mean_c, *, log_prob_fn, n_steps):
     """One convergence-loop segment as a single device program: split the
     key, run ``n_steps`` stretch-move steps, write the segment into the
     preallocated chain/log-prob buffers, and compute the integrated
@@ -70,7 +70,22 @@ def _advance_segment(key, state, chain_buf, lp_buf, offset, *, log_prob_fn, n_st
     time (plus paid an eager ~200 ms key-split per segment on the remote
     runtime); here the per-segment host traffic is one (D+1,)-scalar
     fetch and the chain is fetched ONCE at the end of the run.
+
+    The data series (t, y, diag) and the unfitted-mean parameter vector
+    enter as runtime OPERANDS, not trace constants: every dataset of a
+    given length then reuses one compiled program (and one on-disk
+    exported artifact) — with data baked in, each new lightcurve paid
+    the full segment compile (~10-30 s on the remote runtime; measured
+    by the per-experiment wall of the full-pipeline calibration).
+    ``log_prob_fn`` is the data-as-arguments batcher
+    (GPModelling._logprob_batch_d / _logprob_batch_fast_d).
     """
+
+    batcher = log_prob_fn
+
+    def log_prob_fn(thetas):  # noqa: F811 — bind the data operands
+        return batcher(thetas, t, y, diag, mean_c)
+
     key, sub = jax.random.split(key)
     if state.ndim == 3:
         # (chains, walkers, D): C independent ensembles in one batch —
@@ -300,23 +315,28 @@ class GPModelling:
             return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
         # batch-native log-prob: thetas (W, D) -> (W,), with the batch
-        # axis riding the VPU lanes (solver/batched.py layout)
+        # axis riding the VPU lanes (solver/batched.py layout).  The
+        # ``_d`` variants take the data series (t, y, diag) and the
+        # unfitted-mean parameter vector as runtime ARGUMENTS — the
+        # sampler programs built on them are then shared by every
+        # dataset of the same length (see _advance_segment); the
+        # closure variants bind this instance's data for single-eval use.
         from mind_the_gaps_tpu.solver.batched import batched_log_likelihood
 
-        def log_prob_batch(thetas):
+        def log_prob_batch_d(thetas, t_a, y_a, diag_a, mean_c):
             th_k = thetas[:, :nk]
             coeffs = jax.vmap(kernel.coefficients)(th_k)
             lp = jax.vmap(kernel.log_prior)(th_k)
             jitter = jax.vmap(kernel.jitter)(th_k)
             if fit_mean:
                 th_m = thetas[:, nk:]
-                means = jax.vmap(lambda tm: mean_model.value(t, tm))(th_m)  # (W, N)
+                means = jax.vmap(lambda tm: mean_model.value(t_a, tm))(th_m)  # (W, N)
                 lp = lp + jax.vmap(mean_model.log_prior)(th_m)
             else:
-                means = mean_model.value(t, mean_const)  # (N,) shared
-                means = jnp.broadcast_to(means, (thetas.shape[0], t.shape[0]))
+                means = mean_model.value(t_a, mean_c)  # (N,) shared
+                means = jnp.broadcast_to(means, (thetas.shape[0], t_a.shape[0]))
             ll = batched_log_likelihood(
-                coeffs, t, y, diag_base, mean=means, extra_diag=jitter
+                coeffs, t_a, y_a, diag_a, mean=means, extra_diag=jitter
             )
             return jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
 
@@ -328,7 +348,7 @@ class GPModelling:
         # (B, N) grouped data (ops/pallas_celerite.py repeats=1 layout).
         interpret = jax.default_backend() != "tpu"
 
-        def log_prob_batch_fast(thetas):
+        def log_prob_batch_fast_d(thetas, t_a, y_a, diag_a, mean_c):
             from mind_the_gaps_tpu.ops import pallas_log_likelihood
 
             w = thetas.shape[0]
@@ -338,33 +358,41 @@ class GPModelling:
             coeffs = jax.vmap(kernel.coefficients)(th32[:, :nk])
             lp = jax.vmap(kernel.log_prior)(th32[:, :nk])
             jitter = jax.vmap(kernel.jitter)(th32[:, :nk])
-            y32 = y.astype(jnp.float32)
-            d32 = diag_base.astype(jnp.float32)
+            y32 = y_a.astype(jnp.float32)
+            d32 = diag_a.astype(jnp.float32)
             if fit_mean:
                 th_m = th32[:, nk:]
-                t32 = t.astype(jnp.float32)
+                t32 = t_a.astype(jnp.float32)
                 means = jax.vmap(lambda tm: mean_model.value(t32, tm))(th_m)  # (B, N)
                 lp = lp + jax.vmap(mean_model.log_prior)(th_m)
                 ll = pallas_log_likelihood(
-                    coeffs, t, y32[None, :] - means, d32,
+                    coeffs, t_a, y32[None, :] - means, d32,
                     extra_diag=jitter, interpret=interpret,
                 )
             else:
-                const = mean_model.value(t[:1], mean_const)[0].astype(jnp.float32)
+                const = mean_model.value(t_a[:1], mean_c)[0].astype(jnp.float32)
                 mean_b = jnp.full((w + pad,), const, dtype=jnp.float32)
                 ll = pallas_log_likelihood(
-                    coeffs, t, y32, d32, mean=mean_b, extra_diag=jitter,
+                    coeffs, t_a, y32, d32, mean=mean_b, extra_diag=jitter,
                     interpret=interpret,
                 )
             out = jnp.where(jnp.isfinite(lp), lp + ll, -jnp.inf)
             return out[:w]
 
+        mean_c0 = jnp.asarray(mean_model.get_parameter_vector(), dtype=jnp.float64)
+        self._mean_c = mean_c0
         self._loglike_fn = loglike
         self._logprob_fn = log_prob
         self._loglike_jit = jax.jit(loglike)
         self._logprob_jit = jax.jit(log_prob)
-        self._logprob_batch = jax.jit(log_prob_batch)
-        self._logprob_batch_fast = jax.jit(log_prob_batch_fast)
+        self._logprob_batch_d = jax.jit(log_prob_batch_d)
+        self._logprob_batch_fast_d = jax.jit(log_prob_batch_fast_d)
+        self._logprob_batch = jax.jit(
+            lambda thetas: log_prob_batch_d(thetas, t, y, diag_base, mean_c0)
+        )
+        self._logprob_batch_fast = jax.jit(
+            lambda thetas: log_prob_batch_fast_d(thetas, t, y, diag_base, mean_c0)
+        )
         self._fast_gate_checked = False
         self._segment_execs = {}
         self._recompute_execs = {}
@@ -623,34 +651,37 @@ class GPModelling:
         (~25-40 s) until lowering was serialized.
 
         Warm processes skip even the trace: the traced program persists
-        as an on-disk exported artifact (program_cache.py) keyed by the
-        model's data/kernel signature."""
+        as an on-disk exported artifact (program_cache.py).  The data
+        series rides as runtime operands (_advance_segment), so the
+        artifact (and compiled executable) is keyed on model STRUCTURE
+        and shapes only — any dataset of the same length reuses it."""
         from mind_the_gaps_tpu.program_cache import lower_via_cache
 
-        logprob_fn = self._logprob_batch_fast if fast else self._logprob_batch
-        args = (key, state, chain_buf, lp_buf, jax.ShapeDtypeStruct((), jnp.int32))
-        sig = f"advance_segment|fast={bool(fast)}|steps={int(n_steps)}|{self._program_signature()}"
+        logprob_fn = self._logprob_batch_fast_d if fast else self._logprob_batch_d
+        args = (key, state, chain_buf, lp_buf, jax.ShapeDtypeStruct((), jnp.int32)) + self._seg_data_avals()
+        sig = f"advance_segment|fast={bool(fast)}|steps={int(n_steps)}|{self._structure_signature()}"
         return lower_via_cache(
             sig, _advance_segment, args,
             static_kwargs=dict(log_prob_fn=logprob_fn, n_steps=int(n_steps)),
         )
 
-    def _program_signature(self) -> str:
-        """Stable description of everything this instance's traced
-        programs close over — the data series (embedded in the programs
-        as constants), the kernel structure/bounds, and the mean model.
-        Used to key on-disk exported-program artifacts (program_cache.py):
-        two instances with equal signatures trace byte-equivalent
-        programs for equal shapes, so an artifact may be shared."""
+    def _seg_data(self):
+        """The loop-invariant data operands of the sampler programs."""
+        return (self._t, self._y, self._diag_base, self._mean_c)
+
+    def _seg_data_avals(self):
+        return tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in self._seg_data())
+
+    def _structure_signature(self) -> str:
+        """Stable description of the model STRUCTURE this instance's
+        traced programs close over — kernel term classes/bounds and the
+        mean model.  The data series and mean constants are runtime
+        operands, so two models with equal structure trace
+        byte-equivalent programs for equal shapes and share compiled
+        executables and on-disk artifacts (program_cache.py)."""
         import hashlib
 
         h = hashlib.sha256()
-        for arr in (
-            np.asarray(self._lightcurve.times, dtype=np.float64),
-            np.asarray(self._lightcurve.y, dtype=np.float64),
-            np.asarray(self._diag_base, dtype=np.float64),
-        ):
-            h.update(arr.tobytes())
         h.update(repr([type(t).__name__ for t in self.kernel.terms]).encode())
         h.update(repr(self.kernel.get_parameter_names()).encode())
         h.update(repr([(float(lo), float(hi)) for lo, hi in np.asarray(
@@ -658,7 +689,6 @@ class GPModelling:
              for b in self.kernel.get_parameter_bounds()], dtype=np.float64)]).encode())
         h.update(type(self.mean_model).__name__.encode())
         h.update(repr(bool(self.fit_mean)).encode())
-        h.update(np.asarray(self.mean_model.get_parameter_vector(), dtype=np.float64).tobytes())
         if self.fit_mean:
             h.update(repr([(float(lo) if lo is not None else None, float(hi) if hi is not None else None)
                            for lo, hi in self.mean_model.get_parameter_bounds()]).encode())
@@ -670,9 +700,9 @@ class GPModelling:
         pre-traced on-disk artifact when one matches (program_cache.py)."""
         from mind_the_gaps_tpu.program_cache import lower_via_cache
 
-        args = (jax.ShapeDtypeStruct((rows, self._ndim), jnp.float64),)
-        sig = f"recompute|{rows}|{self._ndim}|{self._program_signature()}"
-        return lower_via_cache(sig, self._logprob_batch, args)
+        args = (jax.ShapeDtypeStruct((rows, self._ndim), jnp.float64),) + self._seg_data_avals()
+        sig = f"recompute|{rows}|{self._ndim}|{self._structure_signature()}"
+        return lower_via_cache(sig, self._logprob_batch_d, args)
 
     def _recompute_exec(self, rows: int = 4096):
         """AOT executable of the f64 recompute, memoized per row count.
@@ -904,7 +934,7 @@ class GPModelling:
                 seg = self._segment_exec(fast_, steps, *carry)
             if fast_:
                 self._fast_gate_checked = True
-            out = seg(*carry, jnp.asarray(iteration, dtype=jnp.int32))
+            out = seg(*carry, jnp.asarray(iteration, dtype=jnp.int32), *self._seg_data())
             return fast_, out
 
         # Speculative segment pipelining: segment k+1 is dispatched
@@ -988,9 +1018,10 @@ class GPModelling:
             if pad:
                 flat = np.concatenate([flat, np.broadcast_to(flat[:1], (pad, flat.shape[1]))])
             ex = self._recompute_exec(chunk)
+            data = self._seg_data()
             out = []
             for start in range(0, flat.shape[0], chunk):
-                out.append(np.asarray(ex(jnp.asarray(flat[start : start + chunk]))))
+                out.append(np.asarray(ex(jnp.asarray(flat[start : start + chunk]), *data)))
             self._loglikelihoods = np.concatenate(out)[:m]
         self._sampler = sampler
 
