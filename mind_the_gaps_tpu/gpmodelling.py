@@ -1328,8 +1328,32 @@ class GPModelling:
             # downsample -> noise) fuses into ONE device program: a
             # remote runtime pays per-dispatch latency, and the Gaussian
             # path has no data-dependent host loop (E13's lock-step
-            # while-loop keeps its internal chunking)
-            return jax.jit(gen)
+            # while-loop keeps its internal chunking).
+            #
+            # The lightcurve mean is a runtime OPERAND of the simulator
+            # pipeline (core.py simulate_batch) and the generator takes
+            # it as an explicit argument here, so the compiled program
+            # (a ~6 MB executable, the last per-dataset compile of a
+            # multi-lightcurve pipeline) is shared by every dataset
+            # with this observing pattern.
+            mean_value = jnp.asarray(simulator.mean, dtype=jnp.float64)
+
+            @jax.jit
+            def gen_m(k_sim, k_noise, thetas, mean_v):
+                psd_values = psd_batch(jnp.asarray(thetas))
+                rates = simulator.simulate_batch(k_sim, psd_values, mean=mean_v)
+                return simulator.add_noise_batch(k_noise, rates)
+
+            def gen_bound(k_sim, k_noise, thetas, mean_v=None):
+                return gen_m(
+                    k_sim, k_noise, thetas,
+                    mean_value if mean_v is None else mean_v,
+                )
+
+            gen_bound.lower = lambda k1, k2, th: gen_m.lower(
+                k1, k2, th, jax.ShapeDtypeStruct((), jnp.float64)
+            )
+            return gen_bound
         return gen
 
     def generate_batch_from_posteriors(

@@ -383,7 +383,6 @@ class Simulator:
         grid_t0 = float(self.sim_timestamps[0])
         grid_t1 = float(self.sim_timestamps[-1])
         duration = float(self.sim_duration)
-        mean = self.mean
         gaussian = self.pdf.lower() == "gaussian"
         pdf = self.pdf.lower()
         max_iter = self.max_iter
@@ -402,10 +401,10 @@ class Simulator:
                 m_cut = p2
         self._e13_cut_len = m_cut
 
-        def cut_segment(key, psd_values):
+        def cut_segment(key, psd_values, mean_v):
             k_fft, k_cut, k_pdf = jax.random.split(key, 3)
             rate = tk95_rates(k_fft, psd_values, n_fft, dt)
-            rate = rate - jnp.mean(rate) + mean
+            rate = rate - jnp.mean(rate) + mean_v
             # random segment (reference cut_random_segment, simulator.py:536)
             shift = jax.random.uniform(
                 k_cut, (), minval=grid_t0, maxval=grid_t1 - duration, dtype=rate.dtype
@@ -414,10 +413,15 @@ class Simulator:
             k0 = jnp.clip(k0, 0, n_fft - m_cut)
             return k_pdf, jax.lax.dynamic_slice(rate, (k0,), (m_cut,))
 
-        def pipeline(key, psd_values):
-            k_pdf, segment = cut_segment(key, psd_values)
+        # the lightcurve mean is a runtime OPERAND, not a trace constant:
+        # with it baked in, every new dataset with the same observing
+        # pattern recompiled the whole generation program (the mean is
+        # the only data-derived value in the Gaussian pipeline — the
+        # grid/window geometry depends on times/exposures alone)
+        def pipeline(key, psd_values, mean_v):
+            k_pdf, segment = cut_segment(key, psd_values, mean_v)
             if not gaussian:
-                segment, _ = e13_adjust(k_pdf, segment, pdf, mean, max_iter)
+                segment, _ = e13_adjust(k_pdf, segment, pdf, mean_v, max_iter)
             return downsample_cumsum(segment, starts, ends)
 
         return jax.jit(pipeline)
@@ -447,7 +451,9 @@ class Simulator:
     def generate_lightcurve(self) -> np.ndarray:
         """One realization resampled onto the input timestamps
         (reference simulator.py:397-420)."""
-        rates = self._pipeline(self._next_key(), self._psd_values())
+        rates = self._pipeline(
+            self._next_key(), self._psd_values(), jnp.asarray(self.mean, dtype=jnp.float64)
+        )
         return np.asarray(rates)
 
     def add_noise(self, rates):
@@ -466,9 +472,13 @@ class Simulator:
     # ------------------------------------------------------------------ #
     # batched path (used by GPModelling.generate_from_posteriors)
     # ------------------------------------------------------------------ #
-    def simulate_batch(self, key, psd_values_batch, chunk: int = 128):
+    def simulate_batch(self, key, psd_values_batch, chunk: int = 128, mean=None):
         """Generate B lightcurves from B PSD evaluations in one jitted,
         vmapped program: (B, n_freq) -> (B, n_times) noiseless rates.
+
+        ``mean``: optional lightcurve mean OPERAND (defaults to the
+        simulator's own); passing it as an argument keeps the compiled
+        program independent of the dataset's flux level.
 
         Non-Gaussian PDFs run the E13 while-loop in lock-step across each
         chunk (chunking bounds memory: big-batch f64 sorts have been
@@ -485,15 +495,15 @@ class Simulator:
         """
         B = psd_values_batch.shape[0]
         keys = jax.random.split(key, B)
+        mean_v = jnp.asarray(self.mean if mean is None else mean, dtype=jnp.float64)
         gaussian = self.pdf.lower() == "gaussian"
+        vpipe = jax.vmap(self._pipeline, in_axes=(0, 0, None))
         if gaussian:
-            return jax.vmap(self._pipeline)(keys, psd_values_batch)
+            return vpipe(keys, psd_values_batch, mean_v)
         outs = []
         for start in range(0, B, chunk):
             outs.append(
-                jax.vmap(self._pipeline)(
-                    keys[start : start + chunk], psd_values_batch[start : start + chunk]
-                )
+                vpipe(keys[start : start + chunk], psd_values_batch[start : start + chunk], mean_v)
             )
         return jnp.concatenate(outs, axis=0)
 
