@@ -68,6 +68,10 @@ def main():
             observed_max_steps=args.observed_max_steps,
             observed_walkers=args.observed_walkers,
             sim_max_steps=args.sim_steps, chunk=args.nsims + 1,
+            # the observed data carry Gaussian errors of this sigma; the
+            # posterior-predictive sims must use the SAME noise model
+            # (default sigma_noise=None would apply Poisson noise)
+            sigma_noise=sigma,
         )
         ps.append(res.p_value)
         print(f"[{time.time()-t0_all:6.0f}s] experiment {k + 1}/{args.k}: "
