@@ -34,6 +34,34 @@ if os.environ.get("MTG_TPU_X64", "1") != "0":
 # of seconds (measured: a fresh-process derive_posteriors drops 42 s ->
 # 24 s with a warm cache).  Only set when the user hasn't configured a
 # cache; disable with MTG_TPU_NO_COMPILE_CACHE=1.
+def _host_isa_fingerprint() -> str:
+    """Short stable fingerprint of the host CPU's ISA feature set.
+
+    XLA:CPU AOT executables embed the compile machine's target features;
+    loading one on a host with a *different* ISA can SIGILL (observed as
+    cpu_aot_loader "machine type doesn't match" errors when a cache
+    directory written on one machine generation is reused on another).
+    Partitioning the default cache directory by the real cpuinfo flags
+    keeps homogeneous pools sharing a cache while making cross-ISA reuse
+    impossible.  TPU executables are machine-independent, so the split
+    only costs a re-warm when the driver host's CPU generation changes.
+    """
+    import platform
+    import zlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    basis = f"{platform.machine()}|{flags}".encode()
+    return f"{zlib.crc32(basis) & 0xFFFFFFFF:08x}"
+
+
 if (
     os.environ.get("MTG_TPU_NO_COMPILE_CACHE", "0") != "1"
     and not os.environ.get("JAX_COMPILATION_CACHE_DIR")
@@ -41,7 +69,7 @@ if (
 ):
     _cache_dir = os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "mind_the_gaps_tpu", "jax",
+        "mind_the_gaps_tpu", "jax", f"host-{_host_isa_fingerprint()}",
     )
     try:
         os.makedirs(_cache_dir, exist_ok=True)
