@@ -45,9 +45,11 @@ from mind_the_gaps_tpu import GappyLightcurve
 from mind_the_gaps_tpu.kernels import DampedRandomWalk, Lorentzian
 from mind_the_gaps_tpu.lrt import protassov_lrt
 
+data_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 rng = np.random.default_rng(0)
-t = np.cumsum(rng.uniform(2.0, 8.0, 120))
-y = 10.0 + rng.normal(0.0, 1.0, 120)
+t = np.cumsum(rng.uniform(2.0, 8.0, 120))  # observing pattern is shared
+drng = np.random.default_rng(data_seed)
+y = 10.0 + 3.0 * data_seed + drng.normal(0.0, 1.0, 120)
 lc = GappyLightcurve(t, y, np.full(120, 0.3), exposures=1.0)
 null_kernel = DampedRandomWalk(log_S0=0.0, log_omega0=-3.0, bounds=[(-5, 10), (-8, 2)])
 alt_kernel = DampedRandomWalk(log_S0=0.0, log_omega0=-3.0, bounds=[(-5, 10), (-8, 2)]) + Lorentzian(
@@ -160,3 +162,34 @@ def test_lrt_entry_cache_keys_reproduce_across_processes(tmp_path):
     t1 = [l for l in outs[0].splitlines() if l.startswith("T_OBS")]
     t2 = [l for l in outs[2].splitlines() if l.startswith("T_OBS")]
     assert t1 == t2, (t1, t2)
+
+
+def test_new_dataset_same_pattern_shares_all_programs(tmp_path):
+    """Data-as-operands contract (round 5/6): every pipeline program is
+    keyed on model structure + SHAPES only — the data series (y, diag)
+    and the lightcurve mean are runtime operands.  A second dataset with
+    the same observing pattern (same times/shapes, different flux values
+    and flux level) must therefore add ZERO new pipeline-program entries
+    to a warm cache.  This is the mechanism behind the measured K=12
+    full-pipeline calibration drop (1841 s -> 268 s: 12-17 s per
+    complete LRT after the first)."""
+    cache = str(tmp_path / "cc")
+    os.makedirs(cache, exist_ok=True)
+    env = dict(os.environ)
+
+    bigs = []
+    for data_seed in (0, 1):
+        proc = subprocess.run(
+            [sys.executable, "-c", _SCRIPT, cache, str(data_seed)],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        bigs.append([e for e in sorted(os.listdir(cache)) if e.startswith(_BIG)])
+
+    assert bigs[0], "run 1 persisted no pipeline programs — cache not active?"
+    new = set(bigs[1]) - set(bigs[0])
+    assert not new, (
+        "a new dataset with the same observing pattern recompiled pipeline "
+        f"programs — data leaked into a traced program as a constant: {sorted(new)}"
+    )
