@@ -122,6 +122,34 @@ def _kernel_sig(kernel) -> str:
     ))
 
 
+def _alt_theta0_rows(null_kernel, alt_kernel, null_rows: np.ndarray) -> np.ndarray:
+    """Per-row starting points for the ALTERNATIVE kernel's refits.
+
+    When the alternative nests the null (its leading terms are the
+    null's term classes — the standard LRT construction, e.g. DRW vs
+    DRW+Lorentzian), each row embeds its null starting draw in the
+    shared leading dimensions and takes the extra (e.g. QPO) dimensions
+    from the alternative kernel's construction-time parameters — a
+    data-independent, row-symmetric start for the dimensions the null
+    cannot inform.  Without nesting, every row starts at the
+    alternative's construction-time vector (fully data-independent).
+    """
+    alt_init = np.asarray(alt_kernel.get_parameter_vector(), dtype=np.float64)
+    B = null_rows.shape[0]
+    null_types = [type(t) for t in null_kernel.terms]
+    alt_types = [type(t) for t in alt_kernel.terms]
+    d_null = null_kernel.ndim
+    nests = (
+        len(alt_types) >= len(null_types)
+        and alt_types[: len(null_types)] == null_types
+        and sum(t.ndim for t in alt_kernel.terms[: len(null_types)]) == d_null
+    )
+    rows = np.broadcast_to(alt_init, (B, alt_init.shape[0])).copy()
+    if nests:
+        rows[:, :d_null] = null_rows[:, :d_null]
+    return rows
+
+
 def _pad_cyclic(arrs, rem: int):
     """Cyclically pad each (nb, ...) array by ``rem`` rows (rem may
     exceed nb); numpy stays numpy, device arrays stay on device."""
@@ -240,8 +268,18 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
             theta0_ = theta0.astype(dtype)
         else:
             theta0_ = theta0
-        std = jnp.abs(theta0_) * percent
-        init = theta0_ + std * jax.random.normal(k_init, (G, walkers, nk), dtype=theta0_.dtype)
+        # theta0 may be (D,) — one starting point for every lightcurve —
+        # or (G, D) with a PER-ROW starting point.  Per-row starts are
+        # the calibration-critical form: protassov_lrt starts each sim's
+        # refit at its own generating posterior draw and the observed
+        # row at an independent posterior draw, so no row's chain starts
+        # closer to its own optimum than any other's (a shared
+        # observed-MAP start privileged the observed row and made the
+        # matched-estimator p-values anti-conservative — measured round 6,
+        # benchmarks/experiments/lognormal_calibration_isolation.py).
+        base = theta0_[:, None, :] if theta0_.ndim == 2 else theta0_
+        std = jnp.abs(base) * percent
+        init = base + std * jax.random.normal(k_init, (G, walkers, nk), dtype=theta0_.dtype)
         # clip into bounds (the reference resamples/clamps; a clip to the
         # 5%-inset bound has the same effect for chain initialization)
         span_lo = jnp.where(jnp.isfinite(lo), lo + 0.05 * jnp.abs(lo), -jnp.inf)
@@ -349,10 +387,13 @@ def _make_batched_max_loglike(kernel, t, n_steps: int, walkers: int, a: float = 
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             return batched_core(key, ys_l, diags_l, theta0, percent)
 
+        # per-row (G, D) starting points shard with the batch; a shared
+        # (D,) vector is replicated
+        th_spec = P(axis_name) if jnp.ndim(theta0) == 2 else P()
         return shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(axis_name), P(axis_name), P(), P()),
+            in_specs=(P(), P(axis_name), P(axis_name), th_spec, P()),
             out_specs=(P(axis_name), P(axis_name)),
             check_vma=False,
         )(key, ys, diags, theta0, percent)
@@ -380,12 +421,17 @@ class _ChunkFitter:
     def __init__(
         self, kernel, times, theta0, walkers=12, n_steps=500, percent=0.1,
         chunk=512, dtype=None, backend="auto", spmd="gspmd", use_mesh=True,
-        early_stop=None,
+        early_stop=None, per_row_start=False,
     ):
         self.chunk = chunk
         self.percent = percent
         self.n_points = int(np.shape(times)[0])
         self.theta0 = jnp.asarray(theta0, dtype=jnp.float64)
+        # per_row_start: fit_chunk takes a (nb, D) per-row starting-point
+        # array (padded alongside the data) instead of one shared vector
+        # — the calibration-critical form (see _make_batched_max_loglike)
+        self.per_row_start = bool(per_row_start)
+        self.ndim = int(np.shape(theta0)[-1])
         use_pallas = backend == "pallas" or (
             backend == "auto"
             and dtype is not None
@@ -426,18 +472,32 @@ class _ChunkFitter:
         self._prog_sig = (
             f"chunk_fitter|{h.hexdigest()}|w={walkers}|s={n_steps}|"
             f"es={early_stop}|pallas={use_pallas}|dt={None if dtype is None else jnp.dtype(dtype).name}"
+            f"|perrow={self.per_row_start}"
         )
 
-    def _lowered_runner(self, key, yb_j, db_j):
+    def _theta0_for(self, rows: int, th_rows=None):
+        """The runner's theta0 argument for a ``rows``-row padded chunk."""
+        if not self.per_row_start:
+            return self.theta0
+        if th_rows is None:
+            # aval for precompiles
+            return jax.ShapeDtypeStruct((rows, self.ndim), jnp.float64)
+        th = jnp.asarray(th_rows, dtype=jnp.float64)
+        (th,) = _pad_cyclic([th], rows - th.shape[0])
+        if self.mesh is not None:
+            th = shard_batch(jnp.asarray(th), self.mesh)
+        return jnp.asarray(th)
+
+    def _lowered_runner(self, key, yb_j, db_j, th0):
         """Lowered(-like) runner program; pre-traced artifact when
         single-device (see program_cache.py)."""
         if self.mesh is None:
             from mind_the_gaps_tpu.program_cache import lower_via_cache
 
             return lower_via_cache(
-                self._prog_sig, self.runner, (key, yb_j, db_j, self.theta0, self.percent)
+                self._prog_sig, self.runner, (key, yb_j, db_j, th0, self.percent)
             )
-        return self.runner.lower(key, yb_j, db_j, self.theta0, self.percent)
+        return self.runner.lower(key, yb_j, db_j, th0, self.percent)
 
     def pad_rows(self, nb: int, total: Optional[int] = None) -> int:
         """Rows of cyclic padding for a chunk of nb lightcurves.
@@ -468,7 +528,7 @@ class _ChunkFitter:
             db = shard_batch(jnp.asarray(db), self.mesh)
         return jnp.asarray(yb), jnp.asarray(db)
 
-    def _exec_for(self, key, yb_j, db_j):
+    def _exec_for(self, key, yb_j, db_j, th0):
         """AOT executable for this input shape/dtype, memoized — every
         chunk of a run reuses one in-memory executable instead of
         re-resolving through the jit/persistent-cache path.
@@ -483,7 +543,7 @@ class _ChunkFitter:
         sig = (yb_j.shape, str(yb_j.dtype))
         if sig in self._execs:
             return self._execs[sig]
-        return self._compile_gated(sig, lambda: self._lowered_runner(key, yb_j, db_j))
+        return self._compile_gated(sig, lambda: self._lowered_runner(key, yb_j, db_j, th0))
 
     def _compile_gated(self, sig, lower_fn):
         """Compile ``lower_fn()`` with the Pallas -> XLA fallback gate
@@ -530,15 +590,21 @@ class _ChunkFitter:
             rows = nb + self.pad_rows(nb, total)
             yb_j = jax.ShapeDtypeStruct((rows, self.n_points), dtype)
             db_j = jax.ShapeDtypeStruct((rows, self.n_points), dtype)
+            th0 = self._theta0_for(rows)
             key = jax.eval_shape(lambda: jax.random.key(0))
         else:
             yb = np.zeros((nb, self.n_points), dtype=dtype)
             db = np.ones((nb, self.n_points), dtype=dtype)
             yb_j, db_j = self._prep(yb, db, total)
+            th0 = (
+                self._theta0_for(yb_j.shape[0], np.zeros((yb_j.shape[0], self.ndim)))
+                if self.per_row_start
+                else self.theta0
+            )
             key = jax.random.key(0)
         sig = (yb_j.shape, str(yb_j.dtype))
         try:
-            lowered = self._lowered_runner(key, yb_j, db_j)
+            lowered = self._lowered_runner(key, yb_j, db_j, th0)
         except Exception:
             lowered = None  # re-lower in the worker; the gate decides there
 
@@ -546,23 +612,34 @@ class _ChunkFitter:
             if sig in self._execs:
                 return
             if lowered is None:
-                self._exec_for(key, yb_j, db_j)
+                self._exec_for(key, yb_j, db_j, th0)
             else:
                 self._compile_gated(sig, lambda: lowered)
 
         self._pending = executor.submit(work)
 
-    def fit_chunk(self, key, yb, db, total: Optional[int] = None):
-        """(nb, N) data + VARIANCE diagonal -> (lls (nb,), xs (nb, D))."""
+    def fit_chunk(self, key, yb, db, total: Optional[int] = None, theta0_rows=None):
+        """(nb, N) data + VARIANCE diagonal -> (lls (nb,), xs (nb, D)).
+
+        ``theta0_rows``: per-row (nb, D) starting points, required when
+        the fitter was built with ``per_row_start=True`` (padded
+        cyclically alongside the data so padded rows restart their source
+        row's chain)."""
         nb = yb.shape[0]
         yb_j, db_j = self._prep(yb, db, total)
+        if self.per_row_start:
+            if theta0_rows is None:
+                raise ValueError("per_row_start fitter needs theta0_rows")
+            th0 = self._theta0_for(yb_j.shape[0], theta0_rows)
+        else:
+            th0 = self.theta0
         if self._pending is not None:
             pending, self._pending = self._pending, None
             pending.result()
-        exec_fn = self._exec_for(key, yb_j, db_j)
+        exec_fn = self._exec_for(key, yb_j, db_j, th0)
         if exec_fn is None:
             exec_fn = self.runner
-        lls, xs = exec_fn(key, yb_j, db_j, self.theta0, self.percent)
+        lls, xs = exec_fn(key, yb_j, db_j, th0, self.percent)
         return lls[:nb], xs[:nb]
 
 
@@ -586,6 +663,10 @@ def fit_lightcurves_batch(
     """Max log-likelihood of ``kernel`` fit to each of B lightcurves
     sharing ``times``: short ensemble MCMC per lightcurve, batched.
 
+    ``theta0``: (D,) shared starting point, or (B, D) PER-ROW starting
+    points (each lightcurve's chains start at its own row — required for
+    a row-symmetric matched estimator, see ``_make_batched_max_loglike``).
+
     ``spmd``: how the simulation axis parallelizes over the mesh —
     "gspmd" (default) shards the inputs and lets XLA partition the jitted
     program; "shard_map" uses the explicit per-device program (per-shard
@@ -602,16 +683,22 @@ def fit_lightcurves_batch(
     diags = (dys + 1e-12) ** 2
     B = ys.shape[0]
 
+    theta0 = np.asarray(theta0, dtype=np.float64)
+    per_row = theta0.ndim == 2
+    if per_row and theta0.shape[0] != B:
+        raise ValueError("per-row theta0 must have one row per lightcurve")
     fitter = _ChunkFitter(
-        kernel, times, theta0, walkers=walkers, n_steps=n_steps, percent=percent,
+        kernel, times, theta0[0] if per_row else theta0,
+        walkers=walkers, n_steps=n_steps, percent=percent,
         chunk=chunk, dtype=dtype, backend=backend, spmd=spmd, use_mesh=use_mesh,
-        early_stop=early_stop,
+        early_stop=early_stop, per_row_start=per_row,
     )
     best_lls, best_xs = [], []
     for start in range(0, B, chunk):
         key, sub = jax.random.split(key)
         lls, xs = fitter.fit_chunk(
-            sub, ys[start : start + chunk], diags[start : start + chunk], total=B
+            sub, ys[start : start + chunk], diags[start : start + chunk], total=B,
+            theta0_rows=theta0[start : start + chunk] if per_row else None,
         )
         lls.block_until_ready()
         best_lls.append(np.asarray(lls))
@@ -735,12 +822,12 @@ def protassov_lrt(
         fitter_null = _ChunkFitter(
             null_kernel, lightcurve.times, null_kernel.get_parameter_vector(),
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
-            early_stop=sim_early_stop,
+            early_stop=sim_early_stop, per_row_start=True,
         )
         fitter_alt = _ChunkFitter(
             alt_kernel, lightcurve.times, alt_kernel.get_parameter_vector(),
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
-            early_stop=sim_early_stop,
+            early_stop=sim_early_stop, per_row_start=True,
         )
         n_rows = nsims + (1 if matched_estimator else 0)
         gen = null_model.make_device_generator(
@@ -887,18 +974,32 @@ def protassov_lrt(
             nsims, pdf=pdf, extension_factor=extension_factor,
             sigma_noise=sigma_noise, seed=seed + 1,
         )
+        # per-row refit starts (see the device pipeline below for the
+        # rationale): replicate generate_batch_from_posteriors' draw
+        # stream to recover each sim's generating posterior draw
+        k0_h = jax.random.key(seed + 1)
+        _, k_pick_h, _, _ = jax.random.split(k0_h, 4)
+        n_samp = len(null_model.mcmc_samples)
+        idx_h = np.asarray(jax.random.randint(k_pick_h, (nsims,), 0, n_samp))
+        sim_starts = np.asarray(null_model.mcmc_samples)[idx_h][:, : null_kernel.ndim]
+        obs_start_h = np.asarray(null_model.mcmc_samples)[
+            int(np.asarray(jax.random.randint(jax.random.fold_in(k_pick_h, 1), (), 0, n_samp)))
+        ][None, : null_kernel.ndim]
         if matched_estimator:
             fit_rates = np.concatenate([np.asarray(lightcurve.y)[None, :], sim_rates])
             fit_dy = np.concatenate([dy_obs[None, :], sim_dy])
+            null_starts_h = np.concatenate([obs_start_h, sim_starts])
         else:
             fit_rates, fit_dy = sim_rates, sim_dy
+            null_starts_h = sim_starts
         null_lls, null_xs = fit_lightcurves_batch(
-            k_null, null_kernel, lightcurve.times, fit_rates, fit_dy, theta0_null,
+            k_null, null_kernel, lightcurve.times, fit_rates, fit_dy, null_starts_h,
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
             early_stop=sim_early_stop,
         )
         alt_lls, alt_xs = fit_lightcurves_batch(
-            k_alt, alt_kernel, lightcurve.times, fit_rates, fit_dy, theta0_alt,
+            k_alt, alt_kernel, lightcurve.times, fit_rates, fit_dy,
+            _alt_theta0_rows(null_kernel, alt_kernel, null_starts_h),
             walkers=sim_walkers, n_steps=sim_max_steps, chunk=chunk, dtype=sim_dtype,
             early_stop=sim_early_stop,
         )
@@ -926,12 +1027,23 @@ def protassov_lrt(
         idx = np.asarray(jax.random.randint(k_pick, (nsims,), 0, n_samples))
         param_samples = np.asarray(null_model.mcmc_samples)[idx]
 
-        # the fitters and generator were built (and their compiles
-        # started) at entry; repoint the fitters' starting vectors at
-        # the observed MAP estimates (a runtime argument of the already
-        # compiled programs)
-        fitter_null.theta0 = jnp.asarray(theta0_null, dtype=jnp.float64)
-        fitter_alt.theta0 = jnp.asarray(theta0_alt, dtype=jnp.float64)
+        # Per-row refit starting points (calibration-critical, round 6):
+        # each sim's chains start at the posterior draw that GENERATED it
+        # and the observed row's at an INDEPENDENT posterior draw — under
+        # the null these start→optimum relations are exchangeable, so the
+        # matched estimator stays unbiased.  (Starting every row at the
+        # observed MAP let the observed row start at its own optimum
+        # while sims started at a foreign point; with the alternative
+        # refits not fully converged in their budget that privileged
+        # T_obs and made lognormal p-values anti-conservative: KS p=0.003
+        # -> see benchmarks/experiments/lognormal_calibration_isolation.py.)
+        # The alternative's extra dimensions start at its construction
+        # parameters for EVERY row (_alt_theta0_rows).
+        idx_obs = int(np.asarray(
+            jax.random.randint(jax.random.fold_in(k_pick, 1), (), 0, n_samples)
+        ))
+        obs_start = np.asarray(null_model.mcmc_samples)[idx_obs][None, :]
+        null_starts = param_samples  # (nsims, D_null)
         n_rows = nsims + (1 if matched_estimator else 0)
         obs_y = jnp.asarray(np.asarray(lightcurve.y, dtype=np.float64))[None, :]
         obs_dy = jnp.asarray(dy_obs)[None, :]
@@ -991,7 +1103,8 @@ def protassov_lrt(
                      pdf.lower(), matched_estimator, extension_factor,
                      None if sigma_noise is None else float(np.mean(sigma_noise)),
                      None if sim_early_stop is None
-                     else (float(sim_early_stop[0]), int(sim_early_stop[1])))
+                     else (float(sim_early_stop[0]), int(sim_early_stop[1])),
+                     "per-row-starts-v2")  # round-6 refit start policy
                 ).encode(),
                 h,
             )
@@ -1045,9 +1158,20 @@ def protassov_lrt(
             else:  # an obs-only final chunk (nsims a multiple of chunk)
                 rates, dys = obs_y, obs_dy
             nb = rates.shape[0]
+            # per-row starts aligned with this chunk's rows (see above);
+            # the generating draws may carry fitted-mean columns — the
+            # refit model is kernel-only with an unfitted constant mean
+            starts_c = null_starts[s0 : s0 + count, : null_kernel.ndim]
+            if matched_estimator and ci == n_chunks - 1:
+                starts_c = np.concatenate([starts_c, obs_start[:, : null_kernel.ndim]])
             diag = _square_err(dys)
-            nl, nx = fitter_null.fit_chunk(k_fit[2 * ci], rates, diag, total=n_rows)
-            al, ax = fitter_alt.fit_chunk(k_fit[2 * ci + 1], rates, diag, total=n_rows)
+            nl, nx = fitter_null.fit_chunk(
+                k_fit[2 * ci], rates, diag, total=n_rows, theta0_rows=starts_c
+            )
+            al, ax = fitter_alt.fit_chunk(
+                k_fit[2 * ci + 1], rates, diag, total=n_rows,
+                theta0_rows=_alt_theta0_rows(null_kernel, alt_kernel, starts_c),
+            )
             if refine_f64:
                 rem = fitter_null.pad_rows(nb, n_rows)
                 rates_p, dys_p, nx, ax = _pad_cyclic([rates, dys, nx, ax], rem)
