@@ -151,6 +151,7 @@ def main():
     boot = _bootstrap_chunk_seconds(t, y, diag)
     boot.update(_e13_generation_rate())
     boot.update(_derive_posteriors_seconds(t, y, diag))
+    boot.update(_lrt_512_measured_seconds(t))
 
     record = {
         "metric": "GP loglike evals/sec (N=5k, DRW+QPO kernel, f32 path, f64-checked)",
@@ -248,15 +249,75 @@ def _derive_posteriors_seconds(t, y, diag, steps=4000, walkers=32):
     init = gp.spread_walkers(walkers, theta0, np.array(gp.get_parameter_bounds(), dtype=object))
     # warmup run MUST use the same max_steps: the chain-buffer shape is
     # part of the segment program, so a different budget would push a
-    # fresh compile into the timed region (plus the usual session warmup)
-    gp.derive_posteriors(initial_chain_params=init, max_steps=steps, converge=False, seed=11)
-    start = time.perf_counter()
-    gp.derive_posteriors(initial_chain_params=init, max_steps=steps, converge=False, seed=12)
-    elapsed = time.perf_counter() - start
+    # fresh compile into the timed region (plus the usual session warmup).
+    # converge=False makes the "chains did not converge" warning expected
+    # here — suppress it so the bench's JSON line stays the only output.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        gp.derive_posteriors(initial_chain_params=init, max_steps=steps, converge=False, seed=11)
+        start = time.perf_counter()
+        gp.derive_posteriors(initial_chain_params=init, max_steps=steps, converge=False, seed=12)
+        elapsed = time.perf_counter() - start
     return {
         "derive_posteriors_4k_seconds": round(elapsed, 2),
         "derive_posteriors_steps": steps,
         "derive_posteriors_walkers": walkers,
+    }
+
+
+def _lrt_512_measured_seconds(t, nsims=512):
+    """MEASURED end-to-end Protassov LRT wall-clock (not chunk-scaled):
+    one real ``protassov_lrt`` call — observed fits (two models, 32
+    walkers, up to 10k steps), 512 posterior-predictive simulations
+    generated and refit with both kernels (12 walkers x 500 steps), the
+    T statistic and p-value — on the benchmarks/lrt_10k.py scenario
+    (DRW-true observed data at N=5k).  Complements the chunk-scaled
+    ``bootstrap_10k_seconds`` with a first-class measured pipeline
+    number (round-6 measured: warm ~33-45 s on one v5e chip; the 10k
+    run is tracked separately by benchmarks/lrt_10k.py).
+    """
+    import warnings
+
+    from mind_the_gaps_tpu import GappyLightcurve
+    from mind_the_gaps_tpu.kernels import DampedRandomWalk, Lorentzian
+    from mind_the_gaps_tpu.lrt import protassov_lrt
+
+    t = np.asarray(t)
+    n = len(t)
+    # observed data = exact DRW(=OU) realization + noise, as in
+    # benchmarks/lrt_10k.py:56-69, so both observed fits are well-posed
+    rng = np.random.default_rng(0)
+    rng.uniform(2.0, 8.0, n)  # keep the stream aligned with lrt_10k.py
+    S0, w0 = np.exp(1.0), np.exp(-3.0)
+    y = np.empty(n)
+    y[0] = rng.normal(0.0, np.sqrt(S0))
+    phi = np.exp(-w0 * np.diff(t))
+    innov = rng.normal(0.0, np.sqrt(S0 * (1.0 - phi**2)))
+    for i in range(1, n):
+        y[i] = phi[i - 1] * y[i - 1] + innov[i - 1]
+    dy = np.full(n, 0.3)
+    y = y + 10.0 + rng.normal(0.0, dy)
+    lc = GappyLightcurve(t, y, dy, exposures=1.0)
+
+    null_kernel = DampedRandomWalk(log_S0=1.0, log_omega0=-3.0, bounds=[(-5, 10), (-8, 2)])
+    alt_kernel = null_kernel + Lorentzian(
+        log_S0=-1.0, log_Q=2.0, log_omega0=-2.0, bounds=[(-8, 5), (0, 6), (-5, 0)]
+    )
+    start = time.perf_counter()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        result = protassov_lrt(
+            lc, null_kernel, alt_kernel, nsims=nsims, seed=0,
+            observed_max_steps=10_000, observed_walkers=32,
+            sim_max_steps=500, sim_walkers=12, chunk=512,
+        )
+    elapsed = time.perf_counter() - start
+    return {
+        "lrt_512_measured_seconds": round(elapsed, 1),
+        "lrt_512_t_obs": round(float(result.t_obs), 3),
+        "lrt_512_p_value": float(result.p_value),
     }
 
 

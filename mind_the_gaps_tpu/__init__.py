@@ -102,6 +102,10 @@ def __getattr__(name):
         from mind_the_gaps_tpu.gpmodelling import GPModelling
 
         return GPModelling
+    if name == "AutocorrError":
+        from mind_the_gaps_tpu.gpmodelling import AutocorrError
+
+        return AutocorrError
     if name == "Simulator":
         from mind_the_gaps_tpu.simulator import Simulator
 

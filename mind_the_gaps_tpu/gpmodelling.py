@@ -47,7 +47,29 @@ from mind_the_gaps_tpu.solver import log_likelihood as solver_log_likelihood
 from mind_the_gaps_tpu.solver import predict as solver_predict
 from mind_the_gaps_tpu.solver import predict_at as solver_predict_at
 
-__all__ = ["GPModelling"]
+__all__ = ["GPModelling", "AutocorrError"]
+
+try:  # drop-in: user code catching emcee.autocorr.AutocorrError keeps working
+    from emcee.autocorr import AutocorrError as _BaseAutocorrError
+
+    _autocorr_bases = (_BaseAutocorrError, RuntimeError)
+except Exception:  # emcee not installed (it is not a dependency here)
+    _autocorr_bases = (RuntimeError,)
+
+
+class AutocorrError(*_autocorr_bases):
+    """Chain too short for a reliable autocorrelation-time estimate.
+
+    emcee-compatible: the reference's ``get_autocorr_time`` surfaces
+    ``emcee.autocorr.AutocorrError`` (reference gpmodelling.py:256 via
+    emcee); this class carries the tau estimate on ``.tau`` like emcee's
+    and subclasses it when emcee is importable.  Also a RuntimeError so
+    pre-round-4 callers that caught that keep working.
+    """
+
+    def __init__(self, tau, *args, **kwargs):
+        self.tau = tau
+        Exception.__init__(self, *args, **kwargs)
 
 # posterior-predictive generation batch cap: at 10k sims the PSD batch
 # alone is ~1 GB f64 and the unchunked batched FFT pipeline has been
@@ -135,14 +157,15 @@ class ChainResult:
         """Integrated autocorrelation time per parameter.
 
         ``tol``: like emcee, when > 0 require the chain to be at least
-        ``tol`` autocorrelation times long and raise otherwise (emcee
-        raises AutocorrError; the reference always calls with tol=0,
-        gpmodelling.py:256)."""
+        ``tol`` autocorrelation times long and raise ``AutocorrError``
+        otherwise (emcee-compatible, carries ``.tau``; the reference
+        always calls with tol=0, gpmodelling.py:256)."""
         tau = np.asarray(integrated_autocorr_time(jnp.asarray(self._chain)))
         if tol > 0:
             n = self._chain.shape[0]
             if np.any(tol * tau > n):
-                raise RuntimeError(
+                raise AutocorrError(
+                    tau,
                     "The chain is shorter than %d times the integrated "
                     "autocorrelation time for %d parameter(s). Use this estimate "
                     "with caution and run a longer chain!\n"

@@ -373,6 +373,29 @@ def test_chainresult_autocorr_tol_honored():
         cr.get_autocorr_time(tol=1000)
 
 
+def test_chainresult_autocorr_raises_emcee_compatible_error():
+    """The tol>0 failure is an emcee-compatible AutocorrError carrying
+    the tau estimate on .tau (reference surfaces emcee.autocorr.
+    AutocorrError via get_autocorr_time, gpmodelling.py:256)."""
+    import pytest as _pytest
+
+    from mind_the_gaps_tpu import AutocorrError as exported
+    from mind_the_gaps_tpu.gpmodelling import AutocorrError, ChainResult
+
+    assert exported is AutocorrError
+    rng = np.random.default_rng(1)
+    cr = ChainResult(rng.normal(size=(60, 8, 2)), rng.normal(size=(60, 8)))
+    with _pytest.raises(AutocorrError) as ei:
+        cr.get_autocorr_time(tol=1000)
+    assert np.asarray(ei.value.tau).shape == (2,)
+    try:  # when emcee is present, user `except emcee...AutocorrError` works
+        from emcee.autocorr import AutocorrError as EmceeErr
+    except Exception:
+        pass
+    else:
+        assert issubclass(AutocorrError, EmceeErr)
+
+
 def test_masked_autocorr_matches_host_estimator():
     """The device-side masked tau (fixed-size buffer, n_valid prefix)
     must match the host estimator on the same prefix — it drives the
