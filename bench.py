@@ -347,10 +347,10 @@ def _e13_generation_rate(n_points=500, B=256):
         return jax.vmap(one)(ths)
 
     psd_b = psd_batch(jnp.asarray(thetas))
-    out = sim.simulate_batch(jax.random.key(1), psd_b, chunk=128)
+    out = sim.simulate_batch(jax.random.key(1), psd_b)
     float(jnp.sum(out))  # compile + warmup
     start = time.perf_counter()
-    out = sim.simulate_batch(jax.random.key(2), psd_b, chunk=128)
+    out = sim.simulate_batch(jax.random.key(2), psd_b)
     float(jnp.sum(out))
     elapsed = time.perf_counter() - start
     return {"e13_lognormal_lcs_per_sec": round(B / elapsed, 1)}

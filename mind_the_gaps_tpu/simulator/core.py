@@ -472,7 +472,23 @@ class Simulator:
     # ------------------------------------------------------------------ #
     # batched path (used by GPModelling.generate_from_posteriors)
     # ------------------------------------------------------------------ #
-    def simulate_batch(self, key, psd_values_batch, chunk: int = 128, mean=None):
+    def _e13_chunk_default(self) -> int:
+        """Lock-step chunk width for the E13 batch, by cut length.
+
+        Measured on a v5e chip (benchmarks/experiments/
+        e13_periter_probe.py, round 4): wider chunks win at SMALL cut
+        lengths (dispatch-bound — +8% at m=8192 going 128->512, the
+        extra lock-step iterations cost less than the saved dispatches)
+        and lose at LARGE ones (the sorts saturate the chip, so the
+        higher lock-step max is pure waste: -11% at m=65536 going
+        128->512).  ~4M resident elements per chunk is the measured
+        sweet spot; the f64-sort crash guard that pinned 128 is obsolete
+        (the loop has been f32 end to end since round 5).
+        """
+        m = max(int(getattr(self, "_e13_cut_len", 0) or self._segment_len), 1)
+        return int(max(128, min(512, 1 << int(math.log2(max(4_194_304 // m, 1))))))
+
+    def simulate_batch(self, key, psd_values_batch, chunk: Union[int, None] = None, mean=None):
         """Generate B lightcurves from B PSD evaluations in one jitted,
         vmapped program: (B, n_freq) -> (B, n_times) noiseless rates.
 
@@ -481,10 +497,14 @@ class Simulator:
         program independent of the dataset's flux level.
 
         Non-Gaussian PDFs run the E13 while-loop in lock-step across each
-        chunk (chunking bounds memory: big-batch f64 sorts have been
-        observed to crash the TPU worker).  The E13 cut is padded to a
+        chunk; ``chunk=None`` picks the measured-best width for the cut
+        length (``_e13_chunk_default``).  The E13 cut is padded to a
         power of two so the loop's FFTs are radix-2 instead of Bluestein
-        (measured 227 vs 72 lcs/s at the tutorial's m=6586 on a v5e chip).
+        (measured 227 vs 72 lcs/s at the tutorial's m=6586 on a v5e
+        chip; round 4 re-measured the alternatives — a 5-smooth cut is
+        3.3x SLOWER than pow2 at m=6750 vs 8192, and the raw Bluestein
+        length at m=64941 crashed the TPU worker —
+        benchmarks/experiments/e13_cutlen_probe.py).
 
         A two-phase "straggler compaction" variant (bounded first pass,
         compacted rerun of non-converged lightcurves) was built and
@@ -493,6 +513,8 @@ class Simulator:
         E13 iteration spread is not heavy-tailed (most lightcurves
         converge within ~2x the median).  Removed in round 3.
         """
+        if chunk is None:
+            chunk = self._e13_chunk_default()
         B = psd_values_batch.shape[0]
         keys = jax.random.split(key, B)
         mean_v = jnp.asarray(self.mean if mean is None else mean, dtype=jnp.float64)
