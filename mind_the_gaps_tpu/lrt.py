@@ -489,15 +489,18 @@ class _ChunkFitter:
         return jnp.asarray(th)
 
     def _lowered_runner(self, key, yb_j, db_j, th0):
-        """Lowered(-like) runner program; pre-traced artifact when
-        single-device (see program_cache.py)."""
-        if self.mesh is None:
-            from mind_the_gaps_tpu.program_cache import lower_via_cache
+        """Lowered(-like) runner program; pre-traced on-disk artifact
+        when one matches (see program_cache.py).  Mesh programs are
+        cached too (round 4 — pod warm start): the mesh topology joins
+        the signature and the device context is part of the artifact
+        key, so every process of a warm pod job deserializes instead of
+        re-tracing."""
+        from mind_the_gaps_tpu.program_cache import lower_via_cache
 
-            return lower_via_cache(
-                self._prog_sig, self.runner, (key, yb_j, db_j, th0, self.percent)
-            )
-        return self.runner.lower(key, yb_j, db_j, th0, self.percent)
+        sig = self._prog_sig
+        if self.mesh is not None:
+            sig += f"|mesh={tuple(self.mesh.shape.items())}"
+        return lower_via_cache(sig, self.runner, (key, yb_j, db_j, th0, self.percent))
 
     def pad_rows(self, nb: int, total: Optional[int] = None) -> int:
         """Rows of cyclic padding for a chunk of nb lightcurves.

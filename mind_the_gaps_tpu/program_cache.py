@@ -18,9 +18,17 @@ shapes/dtypes/static config).  Artifacts live next to the XLA cache
 (``~/.cache/mind_the_gaps_tpu/programs``); ``MTG_TPU_NO_PROGRAM_CACHE=1``
 disables the tier, ``MTG_TPU_PROGRAM_CACHE=<dir>`` relocates it.
 
-Scope: single-device programs only — exported artifacts do not carry
-the mesh/sharding context our multi-device paths close over, so callers
-must bypass this tier when running under a mesh (they all gate on it).
+Scope: single-device programs replay as-is.  Multi-device (mesh)
+programs are supported with two twists (round 4 — pod-ready warm
+start): the artifact key additionally carries the device context
+(device count is already keyed; process count and device kinds are
+added), and typed PRNG-key arguments cross the export boundary as raw
+``key_data`` — replaying a serialized module that recorded a sharding
+for a rank-0 typed-key aval fails MLIR verification ("sharding doesn't
+match tensor rank: 0 != 1") because the replay call sees the physical
+``uint32[2]``.  ``lower_via_cache`` wraps the program to take raw key
+data and returns an executable shim that unwraps keys on call, so
+callers keep passing typed keys.
 Any failure (version skew, corrupt file, unexportable program) falls
 back to tracing; the cache is an accelerator, never a correctness
 dependency.
@@ -80,6 +88,7 @@ def _artifact_path(signature: str) -> Optional[str]:
         jaxlib_version = getattr(jaxlib, "__version__", "unknown")
     except ImportError:  # pragma: no cover
         jaxlib_version = "none"
+    devices = jax.devices()
     key = hashlib.sha256(
         "|".join(
             [
@@ -88,7 +97,9 @@ def _artifact_path(signature: str) -> Optional[str]:
                 jax.__version__,
                 jaxlib_version,
                 jax.default_backend(),
-                str(len(jax.devices())),
+                str(len(devices)),
+                str(jax.process_count()),
+                repr(sorted({d.device_kind for d in devices})),
                 str(jax.config.jax_enable_x64),
             ]
         ).encode()
@@ -158,17 +169,23 @@ class _CompilableExported:
     lowering it is cheap (the StableHLO module already exists — no
     retracing of the original program).  An artifact that fails to
     re-lower/compile (version or device-context skew that survived
-    deserialization) is deleted and the program retraced."""
+    deserialization) is deleted and the program retraced.
 
-    def __init__(self, exported, args, fallback, path):
+    ``key_ix`` marks typed PRNG-key argument positions: the exported
+    program takes raw ``key_data`` there (see module docstring), so the
+    compiled executable is returned behind a shim that unwraps keys on
+    call — callers keep the typed-key calling convention either way."""
+
+    def __init__(self, exported, args, fallback, path, key_ix=()):
         self._exported = exported
         self._args = args
         self._fallback = fallback
         self._path = path
+        self._key_ix = tuple(key_ix)
 
     def compile(self):
         try:
-            return jax.jit(self._exported.call).lower(*self._args).compile()
+            compiled = jax.jit(self._exported.call).lower(*self._args).compile()
         except Exception:
             if self._path:
                 try:
@@ -176,6 +193,41 @@ class _CompilableExported:
                 except OSError:
                     pass
             return self._fallback().compile()
+        if not self._key_ix:
+            return compiled
+        return _UnkeyingExecutable(compiled, self._key_ix)
+
+
+class _UnkeyingExecutable:
+    """Callable shim over a compiled exported program whose PRNG-key
+    arguments were exported as raw key data."""
+
+    def __init__(self, compiled, key_ix):
+        self._compiled = compiled
+        self._key_ix = key_ix
+
+    def __call__(self, *args):
+        args = list(args)
+        for i in self._key_ix:
+            args[i] = jax.random.key_data(args[i])
+        return self._compiled(*args)
+
+
+def _is_key_aval(a) -> bool:
+    try:
+        return jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key)
+    except Exception:
+        return False
+
+
+def _key_data_aval(a):
+    """The raw-data form of a typed-key array or ShapeDtypeStruct."""
+    if isinstance(a, jax.ShapeDtypeStruct):
+        # default threefry keys: () key -> (2,) uint32 payload
+        import numpy as _np
+
+        return jax.ShapeDtypeStruct(tuple(a.shape) + (2,), _np.uint32)
+    return jax.random.key_data(a)
 
 
 def lower_via_cache(signature: str, jit_fn, args, static_kwargs=None):
@@ -184,34 +236,72 @@ def lower_via_cache(signature: str, jit_fn, args, static_kwargs=None):
     Loads the pre-traced artifact for ``signature`` when one matches,
     else traces via ``jax.export`` (persisting the artifact).  The
     ``signature`` must describe every closure constant of the program
-    (argument shapes/dtypes are appended here defensively).  Any
-    export/deserialize/replay failure falls back to a plain
+    (argument shapes/dtypes/shardings are appended here defensively).
+    Any export/deserialize/replay failure falls back to a plain
     ``.lower()``.
 
-    Single-device processes only: exported artifacts bake in the
-    exporting process's device context (SDY mesh attributes), and
-    replaying one under a different device count fails MLIR
-    verification — multi-device processes always trace.
-    """
+    Multi-device processes are supported (round 4): the artifact key
+    carries the device context (count/process count/kinds — an 8-chip
+    pod process never loads a single-chip artifact), and typed PRNG-key
+    arguments are rewritten to raw ``key_data`` across the export
+    boundary (replaying a recorded rank-0 key sharding fails MLIR
+    verification under a mesh).  Callers must put the mesh topology in
+    ``signature`` when the program closes over one."""
     import numpy as _np
 
     kw = dict(static_kwargs or {})
-    if len(jax.devices()) != 1:
+    if program_cache_dir() is None:
+        # tier disabled: exporting without a disk cache is pure overhead
         return jit_fn.lower(*args, **kw)
+    multi_device = len(jax.devices()) != 1
+
+    def _shard_desc(a):
+        s = getattr(a, "sharding", None)
+        if s is None:
+            return ""
+        try:
+            return f"@{getattr(s, 'spec', s)}"
+        except Exception:
+            return "@?"
+
     aval_sig = ";".join(
-        f"{tuple(_np.shape(a))}:{getattr(a, 'dtype', type(a).__name__)}" for a in args
+        f"{tuple(_np.shape(a))}:{getattr(a, 'dtype', type(a).__name__)}"
+        + (_shard_desc(a) if multi_device else "")
+        for a in args
     )
     full_sig = signature + "|" + aval_sig
     try:
         from jax import export as jexport
 
+        if multi_device:
+            # typed keys cross the boundary as raw data (module docstring)
+            key_ix = tuple(i for i, a in enumerate(args) if _is_key_aval(a))
+            if key_ix:
+                def rekeyed(*raw):
+                    full = list(raw)
+                    for i in key_ix:
+                        full[i] = jax.random.wrap_key_data(full[i])
+                    return jit_fn(*full, **kw)
+
+                export_fn = jax.jit(rekeyed)
+                export_args = tuple(
+                    _key_data_aval(a) if i in key_ix else a for i, a in enumerate(args)
+                )
+                export_kw = {}
+            else:
+                export_fn, export_args, export_kw = jit_fn, tuple(args), kw
+        else:
+            key_ix = ()
+            export_fn, export_args, export_kw = jit_fn, tuple(args), kw
+
         exported = exported_or_trace(
-            full_sig, lambda: jexport.export(jit_fn)(*args, **kw)
+            full_sig, lambda: jexport.export(export_fn)(*export_args, **export_kw)
         )
         return _CompilableExported(
-            exported, args,
+            exported, export_args,
             fallback=lambda: jit_fn.lower(*args, **kw),
             path=_artifact_path(full_sig),
+            key_ix=key_ix,
         )
     except Exception:
         return jit_fn.lower(*args, **kw)

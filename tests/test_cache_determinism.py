@@ -62,14 +62,18 @@ print("T_OBS", res.t_obs)
 """
 
 
-def test_precompiles_lower_on_the_calling_thread():
+def test_precompiles_lower_on_the_calling_thread(monkeypatch):
     """The design contract behind reproducible cache keys: precompile
     helpers must TRACE/LOWER on the calling thread (deterministic global
     order) and ship only the backend compile to the executor.  The
     subprocess test below cannot reliably reproduce the trace race on a
     CPU backend (traces finish too fast to overlap), so this pins the
     mechanism directly — it fails on the pre-fix code, which lowered
-    inside the worker."""
+    inside the worker.
+
+    The spies watch ``.lower``, so the exported-program tier (which
+    traces through jax.export on the same calling thread, never calling
+    .lower) is disabled for the duration."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
@@ -86,6 +90,8 @@ def test_precompiles_lower_on_the_calling_thread():
     lc = GappyLightcurve(t, 10 + rng.normal(0, 1, 100), np.full(100, 0.3), exposures=1.0)
     kernel = DampedRandomWalk(log_S0=0.0, log_omega0=-3.0, bounds=[(-5, 10), (-8, 2)])
     gp = GPModelling(lc, kernel)
+
+    monkeypatch.setenv("MTG_TPU_NO_PROGRAM_CACHE", "1")
 
     lower_threads = []
     orig_seg_lower = GPModelling._segment_lower

@@ -66,7 +66,24 @@ gys = jax.make_array_from_callback(ys.shape, sharding, lambda idx: ys[idx])
 gdiags = jax.make_array_from_callback(diags.shape, sharding, lambda idx: diags[idx])
 
 runner = _make_batched_max_loglike(kernel, t, n_steps=steps, walkers=walkers, mesh=mesh)
-best_lp, best_x = runner(jax.random.key(0), gys, gdiags, theta0, 0.1)
+cache_dir = sys.argv[5] if len(sys.argv) > 5 else ""
+if cache_dir:
+    # pod-warm-start path: lower through the exported-program cache (the
+    # mechanism ChunkFitter._lowered_runner uses under a mesh) — a warm
+    # pod process deserializes the pre-traced artifact instead of
+    # re-tracing the program
+    import os as _os
+
+    _os.environ["MTG_TPU_PROGRAM_CACHE"] = cache_dir
+    from mind_the_gaps_tpu.program_cache import lower_via_cache
+
+    sig = f"multihost_chunk|w={walkers}|s={steps}|mesh={tuple(mesh.shape.items())}"
+    exec_fn = lower_via_cache(
+        sig, runner, (jax.random.key(0), gys, gdiags, theta0, 0.1)
+    ).compile()
+    best_lp, best_x = exec_fn(jax.random.key(0), gys, gdiags, theta0, 0.1)
+else:
+    best_lp, best_x = runner(jax.random.key(0), gys, gdiags, theta0, 0.1)
 
 full_lp = np.asarray(multihost_utils.process_allgather(best_lp, tiled=True))
 full_x = np.asarray(multihost_utils.process_allgather(best_x, tiled=True))
@@ -86,21 +103,17 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
-def test_two_process_distributed_matches_single_process(tmp_path):
+def _spawn_pair(outfile, cache_dir: str = ""):
+    """Run the 2-process distributed child pair; return pid-0's result."""
     port = _free_port()
-    outfile = tmp_path / "dist_result.json"
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # the children must NOT inherit the parent's 8-device XLA_FLAGS
     env.pop("XLA_FLAGS", None)
+    argv_tail = [str(port), str(outfile)] + ([cache_dir] if cache_dir else [])
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _CHILD, str(pid), "2", str(port), str(outfile)],
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
+            [sys.executable, "-c", _CHILD, str(pid), "2"] + argv_tail,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)
     ]
@@ -116,7 +129,12 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"child failed:\n{out[-3000:]}"
     with open(outfile) as fh:
-        dist = json.load(fh)
+        return json.load(fh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+def test_two_process_distributed_matches_single_process(tmp_path):
+    dist = _spawn_pair(tmp_path / "dist_result.json")
     dist_lp = np.asarray(dist["best_lp"])
     dist_x = np.asarray(dist["best_x"])
 
@@ -147,3 +165,34 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     np.testing.assert_allclose(dist_lp, np.asarray(ref_lp), rtol=0, atol=1e-10)
     np.testing.assert_allclose(dist_x, np.asarray(ref_x), rtol=0, atol=1e-10)
     assert np.all(np.isfinite(dist_lp))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+def test_pod_warm_start_adds_zero_trace_work(tmp_path):
+    """Pod-ready warm start (round 4): the exported-program cache covers
+    MESH programs, so a restarted pod job deserializes pre-traced
+    artifacts instead of re-tracing.
+
+    Acceptance: run the 2-process distributed bootstrap twice against
+    one fresh program-cache dir.  The first job exports the artifact(s);
+    the second job must add ZERO entries and rewrite none (same files,
+    same mtimes — i.e. it loaded, it did not re-export), and its results
+    must be bit-identical."""
+    cache_dir = str(tmp_path / "programs")
+
+    r1 = _spawn_pair(tmp_path / "r1.json", cache_dir=cache_dir)
+    arts = sorted(os.listdir(cache_dir))
+    assert any(a.endswith(".jaxprog") for a in arts), (
+        "cold pod job exported no mesh artifacts"
+    )
+    mtimes = {a: os.path.getmtime(os.path.join(cache_dir, a)) for a in arts}
+
+    r2 = _spawn_pair(tmp_path / "r2.json", cache_dir=cache_dir)
+    arts2 = sorted(os.listdir(cache_dir))
+    assert arts2 == arts, f"warm pod job changed the artifact set: {arts} -> {arts2}"
+    for a in arts:
+        assert os.path.getmtime(os.path.join(cache_dir, a)) == mtimes[a], (
+            f"warm pod job re-exported {a} (cache key unstable across jobs)"
+        )
+    np.testing.assert_array_equal(np.asarray(r1["best_lp"]), np.asarray(r2["best_lp"]))
+    np.testing.assert_array_equal(np.asarray(r1["best_x"]), np.asarray(r2["best_x"]))
