@@ -560,6 +560,11 @@ def pallas_log_likelihood(
             raise ValueError("per-element series (2-D y with repeats=1) needs y.shape[0] == B")
         if jnp.ndim(diag) == 1:
             diag = jnp.broadcast_to(jnp.asarray(diag, dtype=dtype)[None, :], jnp.asarray(y).shape)
+    if repeats > 1 and jnp.ndim(y) == 2 and jnp.ndim(diag) == 1:
+        # a shared 1-D diag with grouped series: broadcast to (G, N) —
+        # feeding it through the (G, N) padding path as-is would build a
+        # nonsense (N, n_pad) operand that Mosaic rejects at lowering
+        diag = jnp.broadcast_to(jnp.asarray(diag, dtype=dtype)[None, :], jnp.asarray(y).shape)
     grouped = repeats > 1 or per_element
 
     if not grouped:
