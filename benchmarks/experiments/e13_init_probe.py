@@ -55,9 +55,13 @@ round-6 predictability negative and the round-5 compaction bound, E13
 iteration scheduling/acceleration is exhausted: the lock-step max (~p90+
 of a light-tailed iteration distribution) is the floor.
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 
@@ -70,7 +74,7 @@ from mind_the_gaps_tpu.simulator import Simulator
 from mind_the_gaps_tpu.simulator.core import tk95_rates
 from mind_the_gaps_tpu.stats import sample_pdf
 
-B = 128
+B = 256  # > CHUNK so the lock-step chunkmax column measures multi-chunk cost
 CHUNK = 128
 MAX_ITER = 400
 MEAN = 10.0
@@ -169,6 +173,11 @@ VARIANTS = [
     ("seginit      b=1.75", "segment", 1.75),
     ("seginit      b=2.00", "segment", 2.0),
 ]
+# substring filter for resuming a partial sweep (diverging variants cost
+# ~18 min each at B=256 on CPU): E13_PROBE_ONLY="seginit" runs only those
+_only = os.environ.get("E13_PROBE_ONLY")
+if _only:
+    VARIANTS = [v for v in VARIANTS if _only in v[0]]
 
 keys = jax.random.split(jax.random.key(1), B)
 psd_b = psd_batch(jnp.asarray(thetas))
@@ -177,6 +186,25 @@ psd_b = psd_batch(jnp.asarray(thetas))
 def chunk_cost(iters):
     return sum(int(iters[s:s + CHUNK].max()) for s in range(0, B, CHUNK))
 
+
+# parity gate: e13_variant(init='draw', beta=1) must reproduce the
+# production e13_adjust exactly (same seeded iterate sequence) — guards
+# this hand-parameterized copy against drift from simulator/core.py:88
+from mind_the_gaps_tpu.simulator.core import e13_adjust  # noqa: E402
+
+_k_pdf0, _seg0 = jax.jit(cut_segment)(keys[0], psd_b[0])
+_out_p, _iters_p = jax.jit(
+    lambda k, s: e13_adjust(k, s, "lognormal", MEAN, MAX_ITER)
+)(_k_pdf0, _seg0)
+_iters_v, _relerr_v, _Af_v = jax.jit(
+    lambda k, s: e13_variant(k, s, "draw", 1.0)
+)(_k_pdf0, _seg0)
+assert int(_iters_p) == int(_iters_v), (
+    "probe drifted from production e13_adjust", int(_iters_p), int(_iters_v))
+_Af_p = np.abs(np.fft.rfft(np.asarray(_out_p, dtype=np.float32))) / (
+    _seg0.shape[-1] // 2 + 1)
+np.testing.assert_allclose(np.asarray(_Af_v), _Af_p, rtol=1e-3, atol=1e-6)
+print("parity gate: variant(draw, b=1) == production e13_adjust OK", flush=True)
 
 base_P = None
 for name, init, beta in VARIANTS:
