@@ -45,20 +45,30 @@ def _host_isa_fingerprint() -> str:
     keeps homogeneous pools sharing a cache while making cross-ISA reuse
     impossible.  TPU executables are machine-independent, so the split
     only costs a re-warm when the driver host's CPU generation changes.
+
+    The basis includes the CPU model name and core count, not just the
+    flag set: XLA's AOT tuning pseudo-features (``prefer-no-gather`` /
+    ``prefer-no-scatter``) follow the detected CPU model, so two hosts
+    with identical cpuinfo flags but different models still emit
+    incompatible AOT results (observed 2026-08-19 as cpu_aot_loader
+    feature-mismatch errors on artifacts written by a same-flags host).
     """
     import platform
     import zlib
 
-    flags = ""
+    flags = model = ""
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith("flags"):
+                if line.startswith("flags") and not flags:
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif line.startswith("model name") and not model:
+                    model = line.split(":", 1)[1].strip()
+                if flags and model:
                     break
     except OSError:
         pass
-    basis = f"{platform.machine()}|{flags}".encode()
+    basis = f"{platform.machine()}|{model}|{os.cpu_count()}|{flags}".encode()
     return f"{zlib.crc32(basis) & 0xFFFFFFFF:08x}"
 
 
