@@ -27,10 +27,21 @@ a power of two anyway, simulator/core.py:468-470).
 TPU-measured at (128, 8192) f32 (v5e, fetch-forced): plain sort 5.23 ms
 vs XLA's 5.78; the two-sort rank-order remap 4.51 ms vs XLA's 5.53
 (argsort + sort_key_val).  XLA's variadic sort is near-optimal for this
-shape, so the E13 loop keeps it (a 1.2x remap win does not justify
-restructuring the validated vmapped while_loop); this kernel stands as
-the TPU-native sort tier for workloads where the ~20% matters or where
-fusing the sort INTO a kernel avoids an HBM round trip.
+shape, so the E13 loop keeps it at VMEM-resident sizes (a 1.2x remap win
+does not justify restructuring the validated vmapped while_loop).
+
+BIG-m tier (round 4): at the production lognormal-LRT segment length
+(m=65536) a (m, 128) column tile is 32 MB — 2x VMEM — so the resident
+kernel cannot run, and XLA's sort there is HBM-bound at ~one full pass
+per bitonic stage (measured 16.7 ms at (128, 65536) ≈ 1.1 TB/s
+equivalent traffic — benchmarks/experiments/sort65k_probe.py), while the
+VMEM-resident network's marginal compute is ~free (the 2048..8192 Pallas
+times are one ~1.6 ms dispatch floor).  ``_make_hbm_kernel`` therefore
+runs a two-level bitonic in ONE dispatch: intra-chunk levels sort each
+(C, 128) chunk in VMEM scratch (one HBM round trip for ALL of levels
+1..log2(C)), and each cross-chunk merge level pays one round trip per
+block stage with the stride-C stage fused with that level's intra-chunk
+tail — 11 HBM passes instead of ~136 at m=65536, C=4096.
 """
 from __future__ import annotations
 
@@ -156,6 +167,221 @@ def _make_kernel(m: int, blk: int):
     return kernel
 
 
+def _make_hbm_kernel(m: int, C: int, blk: int):
+    """Two-level bitonic kv-sort for m too large to keep a (m, 128)
+    column tile in VMEM.  One dispatch; HBM-resident data; (C, 128)
+    chunks staged through VMEM scratch by manual DMA.
+
+    Schedule (lg = log2(m), lgC = log2(C)):
+    - phase 1: each chunk loads once and runs ALL intra-chunk levels
+      (1..lgC) in VMEM — one HBM round trip for 78 of the 136 stages at
+      m=65536/C=4096.
+    - phase 2, level k in lgC+1..lg: strides > C are chunk-pair
+      compare-exchanges (one round trip each); the stride-C stage is
+      fused with the level's whole intra-chunk tail (j < lgC) while the
+      pair is resident.
+    Total HBM round trips: 1 + sum_{k>lgC}(k - lgC) = 11 at m=65536.
+    """
+    lg = m.bit_length() - 1
+    lgC = C.bit_length() - 1
+    b = blk.bit_length() - 1
+    nchunks = m // C
+
+    def kernel(kh, vh, ko, vo, kb, vb, sems):
+        col = pl.program_id(0) * _LANES
+
+        def load_chunk(slot, chunk, from_out):
+            src_k, src_v = (ko, vo) if from_out else (kh, vh)
+            c1 = pltpu.make_async_copy(
+                src_k.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
+                kb.at[slot], sems.at[slot, 0],
+            )
+            c2 = pltpu.make_async_copy(
+                src_v.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
+                vb.at[slot], sems.at[slot, 1],
+            )
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+
+        def store_chunk(slot, chunk):
+            c1 = pltpu.make_async_copy(
+                kb.at[slot], ko.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
+                sems.at[slot, 0],
+            )
+            c2 = pltpu.make_async_copy(
+                vb.at[slot], vo.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
+                sems.at[slot, 1],
+            )
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+
+        pos_blk = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+
+        def exchange(x, xv, p, pv, keep_min):
+            take_partner = jnp.logical_or(
+                jnp.logical_and(keep_min, p < x),
+                jnp.logical_and(jnp.logical_not(keep_min), p > x),
+            )
+            return jnp.where(take_partner, p, x), jnp.where(take_partner, pv, xv)
+
+        def roll_step(x, xv, gbase, k_stage, j):
+            """Stride 2^j (< blk) compare-exchange on an in-register
+            (blk, 128) block whose first row has GLOBAL index gbase."""
+            s = 1 << j
+            lower = (pos_blk & s) == 0
+            pneg = jnp.concatenate([x[s:], x[:s]], axis=0)
+            ppos = jnp.concatenate([x[-s:], x[:-s]], axis=0)
+            p = jnp.where(lower, pneg, ppos)
+            pvneg = jnp.concatenate([xv[s:], xv[:s]], axis=0)
+            pvpos = jnp.concatenate([xv[-s:], xv[:-s]], axis=0)
+            pv = jnp.where(lower, pvneg, pvpos)
+            if k_stage < b:
+                desc = ((pos_blk >> k_stage) & 1) == 1
+            else:
+                desc = ((gbase >> k_stage) & 1) == 1  # traced scalar
+            keep_min = jnp.logical_xor(lower, desc)
+            return exchange(x, xv, p, pv, keep_min)
+
+        def fused_small_pass(slot, gb, stages):
+            """Run a static list of (k_stage, j<b) stages on a chunk in
+            slot ``slot`` register-resident; gb = traced global row
+            index of the chunk start (multiple of C)."""
+
+            def body(a, _):
+                base = a * blk
+                sl = pl.ds(base, blk)
+                x = kb[slot, sl, :]
+                xv = vb[slot, sl, :]
+                for (k_stage, j) in stages:
+                    x, xv = roll_step(x, xv, gb + base, k_stage, j)
+                kb[slot, sl, :] = x
+                vb[slot, sl, :] = xv
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(C // blk), body, jnp.int32(0))
+
+        def chunk_block_stage(slot, gb, k_stage, j):
+            """Stride 2^j in [blk, C): exchange (blk, 128) block pairs
+            inside the chunk in slot ``slot``."""
+            s = 1 << j
+            n_pairs = C // (2 * blk)
+            jb = j - b
+
+            def body(q, _):
+                if jb > 0:
+                    a = ((q >> jb) << (jb + 1)) | (q & ((1 << jb) - 1))
+                else:
+                    a = q * 2
+                i_lo = a * blk
+                i_hi = i_lo + s
+                desc = (((gb + i_lo) >> k_stage) & 1) == 1
+                sl_lo = pl.ds(i_lo, blk)
+                sl_hi = pl.ds(i_hi, blk)
+                lo_k = kb[slot, sl_lo, :]
+                hi_k = kb[slot, sl_hi, :]
+                lo_v = vb[slot, sl_lo, :]
+                hi_v = vb[slot, sl_hi, :]
+                swap = jnp.logical_xor(lo_k > hi_k, desc)
+                kb[slot, sl_lo, :] = jnp.where(swap, hi_k, lo_k)
+                kb[slot, sl_hi, :] = jnp.where(swap, lo_k, hi_k)
+                vb[slot, sl_lo, :] = jnp.where(swap, hi_v, lo_v)
+                vb[slot, sl_hi, :] = jnp.where(swap, lo_v, hi_v)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_pairs), body, jnp.int32(0))
+
+        def run_stages(slot, gb, stages):
+            """Static (k_stage, j) list with every stride < C, scheduled
+            as fused register passes + in-chunk block stages."""
+            pending = []
+            for (k_stage, j) in stages:
+                if (1 << j) < blk:
+                    pending.append((k_stage, j))
+                else:
+                    if pending:
+                        fused_small_pass(slot, gb, pending)
+                        pending = []
+                    chunk_block_stage(slot, gb, k_stage, j)
+            if pending:
+                fused_small_pass(slot, gb, pending)
+
+        local_levels = [
+            (k_stage, j) for k_stage in range(1, lgC + 1) for j in range(k_stage - 1, -1, -1)
+        ]
+
+        # ---- phase 1: per-chunk local sort (levels 1..lgC) ---- #
+        def phase1(c, _):
+            load_chunk(0, c, from_out=False)
+            run_stages(0, c * C, local_levels)
+            store_chunk(0, c)
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), phase1, jnp.int32(0))
+
+        def cross_exchange(k_stage, gb_lo):
+            """Elementwise compare-exchange between the chunks in slots
+            0 (global base gb_lo) and 1 (gb_lo + stride)."""
+            desc = ((gb_lo >> k_stage) & 1) == 1
+            lo_k = kb[0]
+            hi_k = kb[1]
+            swap = jnp.logical_xor(lo_k > hi_k, desc)
+            kb[0] = jnp.where(swap, hi_k, lo_k)
+            kb[1] = jnp.where(swap, lo_k, hi_k)
+            lo_v = vb[0]
+            hi_v = vb[1]
+            vb[0] = jnp.where(swap, hi_v, lo_v)
+            vb[1] = jnp.where(swap, lo_v, hi_v)
+
+        # ---- phase 2: cross-chunk merge levels ---- #
+        for k_stage in range(lgC + 1, lg + 1):
+            tail = [(k_stage, j) for j in range(lgC - 1, -1, -1)]
+            for j in range(k_stage - 1, lgC, -1):
+                jb = j - lgC  # chunk-index bit that must be 0
+
+                def pure_pass(q, _, k_stage=k_stage, jb=jb):
+                    if jb > 0:
+                        a = ((q >> jb) << (jb + 1)) | (q & ((1 << jb) - 1))
+                    else:
+                        a = q * 2
+                    load_chunk(0, a, from_out=True)
+                    load_chunk(1, a + (1 << jb), from_out=True)
+                    cross_exchange(k_stage, a * C)
+                    store_chunk(0, a)
+                    store_chunk(1, a + (1 << jb))
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(
+                    jnp.int32(0), jnp.int32(nchunks // 2), pure_pass, jnp.int32(0)
+                )
+
+            def fused_pass(q, _, k_stage=k_stage, tail=tail):
+                a = q * 2
+                load_chunk(0, a, from_out=True)
+                load_chunk(1, a + 1, from_out=True)
+                cross_exchange(k_stage, a * C)  # the stride-C stage
+                run_stages(0, a * C, tail)
+                run_stages(1, (a + 1) * C, tail)
+                store_chunk(0, a)
+                store_chunk(1, a + 1)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(nchunks // 2), fused_pass, jnp.int32(0)
+            )
+
+    return kernel
+
+
+# largest m whose (m, 128) f32 column tile (x4: keys/vals in and out)
+# still fits VMEM for the resident kernel
+_MAX_VMEM_M = 8192
+_HBM_CHUNK = 4096
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def bitonic_sort_kv(keys, vals, interpret: bool = False):
     """Sort ``keys`` ascending along the LAST axis, carrying ``vals``.
@@ -182,24 +408,50 @@ def bitonic_sort_kv(keys, vals, interpret: bool = False):
     kT = keys.reshape(B, m).T  # (m, B)
     vT = vals.reshape(B, m).T
 
-    kernel = _make_kernel(m, blk)
-    call = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((m, B), jnp.float32),
-            jax.ShapeDtypeStruct((m, B), jnp.float32),
-        ),
-        grid=(B // _LANES,),
-        in_specs=[
-            pl.BlockSpec((m, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((m, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )
+    if m <= _MAX_VMEM_M:
+        kernel = _make_kernel(m, blk)
+        call = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((m, B), jnp.float32),
+                jax.ShapeDtypeStruct((m, B), jnp.float32),
+            ),
+            grid=(B // _LANES,),
+            in_specs=[
+                pl.BlockSpec((m, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((m, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )
+    else:
+        C = _HBM_CHUNK
+        kernel = _make_hbm_kernel(m, C, blk)
+        call = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((m, B), jnp.float32),
+                jax.ShapeDtypeStruct((m, B), jnp.float32),
+            ),
+            grid=(B // _LANES,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, C, _LANES), jnp.float32),
+                pltpu.VMEM((2, C, _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )
     with jax.enable_x64(False):
         ko, vo = call(kT, vT)
     return ko.T.reshape(keys.shape), vo.T.reshape(vals.shape)

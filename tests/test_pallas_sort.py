@@ -39,6 +39,57 @@ def test_bitonic_sort_leading_axes_and_validation():
         bitonic_sort_kv(jnp.zeros((3, 64)), jnp.zeros((3, 64)), interpret=True)
 
 
+@pytest.mark.parametrize("B", [128, 256])
+def test_hbm_tier_matches_numpy(B):
+    """The HBM-tiled two-level kernel (big m staged through VMEM chunks
+    by manual DMA) at a test-sized geometry: m=1024 in C=256 chunks —
+    the same schedule shape as the production m=65536/C=4096, run via
+    the private constructor so interpret mode stays fast.  On-chip
+    parity at the real (128, 65536) is in CLAUDE.md (2026-08-19:
+    bit-equal to stable numpy argsort on unique keys, 9.48 ms vs XLA's
+    17.01)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mind_the_gaps_tpu.ops.pallas_sort import _LANES, _make_hbm_kernel
+
+    m, C, blk = 1024, 256, 64
+    call = pl.pallas_call(
+        _make_hbm_kernel(m, C, blk),
+        out_shape=(jax.ShapeDtypeStruct((m, B), jnp.float32),) * 2,
+        grid=(B // _LANES,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2, C, _LANES), jnp.float32),
+            pltpu.VMEM((2, C, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=True,
+    )
+    rng = np.random.default_rng(B)
+    k = rng.permutation(m * B).reshape(m, B).astype(np.float32)
+    v = rng.normal(size=(m, B)).astype(np.float32)
+    with jax.enable_x64(False):
+        ko, vo = call(jnp.asarray(k), jnp.asarray(v))
+    order = np.argsort(k, axis=0)
+    np.testing.assert_array_equal(np.asarray(ko), np.take_along_axis(k, order, 0))
+    np.testing.assert_array_equal(np.asarray(vo), np.take_along_axis(v, order, 0))
+
+
+def test_big_m_routes_to_hbm_kernel():
+    """bitonic_sort_kv routes m > 8192 through the HBM tier (the
+    resident kernel's (m, 128) tile would be 2x VMEM at 65536)."""
+    rng = np.random.default_rng(7)
+    m = 16384
+    k = rng.permutation(128 * m).reshape(128, m).astype(np.float32)
+    v = rng.normal(size=(128, m)).astype(np.float32)
+    ks, vs = bitonic_sort_kv(jnp.asarray(k), jnp.asarray(v), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ks), np.sort(k, axis=-1))
+    ik = np.argsort(k, axis=-1)
+    np.testing.assert_array_equal(np.asarray(vs), np.take_along_axis(v, ik, axis=-1))
+
+
 def test_bitonic_remap_matches_scatter():
     """Rank-order remap equals the reference scatter formulation
     (simulator.py:107-110 semantics) for unique keys."""
