@@ -139,6 +139,92 @@ def e13_adjust(key, segment_rates, pdf: str, mean, max_iter: int, std=None, rtol
     return out, iters
 
 
+def e13_adjust_batch(keys, segments, pdf: str, mean, max_iter: int,
+                     rtol=1e-4, atol=1e-8, sort_impl: str = "xla",
+                     interpret: bool = False):
+    """Batched Emmanoulopoulos+2013 adjustment over a (Bc, m) chunk.
+
+    Same math as ``e13_adjust`` row-for-row, but the lock-step loop is
+    an EXPLICIT batched ``while_loop`` (per-row freeze masking, exactly
+    the semantics ``vmap`` gives a per-row ``while_loop``) so the
+    rank-order remap can run as whole-chunk sorts.  With
+    ``sort_impl="xla"`` the result is bit-identical to
+    ``vmap(e13_adjust)`` (tested); ``sort_impl="pallas"`` routes the
+    remap through the HBM-tiled bitonic kernel (ops/pallas_sort.py) —
+    measured 1.8x over XLA's sort at the production (128, 65536) shape,
+    where the remap sorts are 84% of per-iteration cost.  The bitonic
+    network is unstable, so pallas results can differ from XLA at tied
+    f32 keys (statistically immaterial; both paths are individually
+    deterministic).
+
+    keys: (Bc,) PRNG keys; segments: (Bc, m).  Bc must be a multiple of
+    128 for the pallas path.  Returns (adjusted (Bc, m) f64, iters (Bc,)).
+    """
+    Bc, m = segments.shape
+    namp = m // 2 + 1
+    sample_std = jnp.std(segments, axis=-1)
+    xsim = jax.vmap(lambda k, s: sample_pdf(k, pdf, mean, s, (m,)))(keys, sample_std)
+    amplitudes_norm = jnp.abs(jnp.fft.rfft(segments.astype(jnp.float32), axis=-1)) / namp
+    sorted_draws = -jnp.sort(-xsim, axis=-1)
+    sorted_draws32 = sorted_draws.astype(jnp.float32)
+
+    if sort_impl == "pallas":
+        from mind_the_gaps_tpu.ops.pallas_sort import bitonic_sort_kv
+
+        iota32 = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.float32)[None, :], (Bc, m)
+        )
+
+        def remap(adj):
+            # rank-order remap as two kv-sorts (see e13_adjust): exact
+            # in f32 — the iota payload and the permutation keys are
+            # integers < 2^24
+            _, perm = bitonic_sort_kv(-adj, iota32, interpret=interpret)
+            _, xnew = bitonic_sort_kv(perm, sorted_draws32, interpret=interpret)
+            return xnew, perm.astype(jnp.int32)
+    else:
+
+        def remap(adj):
+            order = jnp.argsort(-adj, axis=-1)
+            _, xnew = jax.lax.sort_key_val(order, sorted_draws32, dimension=-1)
+            return xnew, order
+
+    def spectral_step(x32):
+        phases = jnp.angle(jnp.fft.rfft(x32, axis=-1))
+        adj = jnp.fft.irfft(amplitudes_norm * jnp.exp(1j * phases), n=m, axis=-1)
+        return remap(adj)
+
+    x0 = xsim.astype(jnp.float32)
+    xadj, order = spectral_step(x0)
+
+    def cond(state):
+        return jnp.any(state[-1])
+
+    def body(state):
+        xprev, xadj, order, it, active = state
+        xnew, order_new = spectral_step(xadj)
+        # freeze finished rows (vmap-of-while_loop semantics)
+        a = active[:, None]
+        xprev_n = jnp.where(a, xadj, xprev)
+        xadj_n = jnp.where(a, xnew, xadj)
+        order_n = jnp.where(a, order_new, order)
+        it_n = jnp.where(active, it + 1, it)
+        close = jnp.all(
+            jnp.abs(xadj_n - xprev_n) <= atol + rtol * jnp.abs(xprev_n), axis=-1
+        )
+        active_n = jnp.logical_and(active, jnp.logical_not(close))
+        active_n = jnp.logical_and(active_n, it_n < max_iter)
+        return xprev_n, xadj_n, order_n, it_n, active_n
+
+    close0 = jnp.all(jnp.abs(xadj - x0) <= atol + rtol * jnp.abs(x0), axis=-1)
+    active0 = jnp.logical_and(jnp.logical_not(close0), jnp.zeros((Bc,), jnp.int32) < max_iter)
+    _, xadj, order, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, xadj, order, jnp.zeros((Bc,), jnp.int32), active0)
+    )
+    out = jax.vmap(lambda o, sd: jnp.zeros_like(sd).at[o].set(sd))(order, sorted_draws)
+    return out, iters
+
+
 def downsample_cumsum(segment_rates, starts, ends):
     """Mean of fine samples within each static [start, end) index window.
 
@@ -424,7 +510,29 @@ class Simulator:
                 segment, _ = e13_adjust(k_pdf, segment, pdf, mean_v, max_iter)
             return downsample_cumsum(segment, starts, ends)
 
+        self._cut_segment_fn = cut_segment
+        self._starts_j, self._ends_j = starts, ends
+        self._chunk_pipeline = None  # built lazily (pallas E13 path)
         return jax.jit(pipeline)
+
+    def _build_chunk_pipeline(self, sort_impl: str):
+        """Chunk-level E13 program: (Bc,) keys + (Bc, n_freq) PSDs ->
+        (Bc, n_times) rates, with the rank-order remap as whole-chunk
+        sorts (``e13_adjust_batch``).  ``sort_impl="pallas"`` uses the
+        HBM-tiled bitonic kernel — the production big-segment path."""
+        cut = self._cut_segment_fn
+        starts, ends = self._starts_j, self._ends_j
+        pdf = self.pdf.lower()
+        max_iter = self.max_iter
+
+        def chunk_pipeline(keys, psd_b, mean_v):
+            k_pdfs, segments = jax.vmap(cut, in_axes=(0, 0, None))(keys, psd_b, mean_v)
+            adj, _ = e13_adjust_batch(
+                k_pdfs, segments, pdf, mean_v, max_iter, sort_impl=sort_impl
+            )
+            return downsample_cumsum(adj, starts, ends)
+
+        return jax.jit(chunk_pipeline)
 
     def _psd_values(self):
         """Evaluate the PSD callable at the simulation frequencies.
@@ -522,6 +630,39 @@ class Simulator:
         vpipe = jax.vmap(self._pipeline, in_axes=(0, 0, None))
         if gaussian:
             return vpipe(keys, psd_values_batch, mean_v)
+
+        # Pallas remap path: at big cut lengths XLA's sort is HBM-bound
+        # at ~one pass per bitonic stage and dominates the E13 iteration
+        # (84% at m=65536); the HBM-tiled bitonic measured 1.8x.  Gated
+        # to TPU + m_cut > 8192 (at VMEM-resident sizes XLA's sort is at
+        # its dispatch floor and the vmapped loop stays) + chunk % 128
+        # (the kernel's lane-tile contract).  Compile-scoped fallback:
+        # a Mosaic failure on the first chunk reverts to the XLA path.
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and getattr(self, "_e13_cut_len", 0) > 8192
+            and chunk % 128 == 0
+        )
+        if use_pallas:
+            if self._chunk_pipeline is None:
+                self._chunk_pipeline = self._build_chunk_pipeline("pallas")
+            outs = []
+            try:
+                for start in range(0, B, chunk):
+                    nb = min(chunk, B - start)
+                    if nb == chunk:
+                        idx = np.arange(start, start + chunk)
+                    else:
+                        # ragged last chunk: pad to the full chunk width
+                        # (one compiled program) with repeated rows,
+                        # sliced off below
+                        idx = start + np.minimum(np.arange(chunk), nb - 1)
+                    out = self._chunk_pipeline(keys[idx], psd_values_batch[idx], mean_v)
+                    outs.append(out[:nb])
+                return jnp.concatenate(outs, axis=0)
+            except Exception:
+                self._chunk_pipeline = None
+                # fall through to the XLA vmapped path
         outs = []
         for start in range(0, B, chunk):
             outs.append(
