@@ -42,6 +42,13 @@ MEASURED (CPU, B=128, m=8192, DRW lognormal tutorial scenario) — NEGATIVE:
                        nonconv 0 specrelerr 0.0088 Pratio 0.9998
   draw         b=1.50: iters 400 ALL NON-CONVERGED specrelerr 10.5
   draw         b=2.00: iters 400 ALL NON-CONVERGED specrelerr 10.4
+  (B=256 rerun, E13_PROBE_ONLY=seginit, 2026-08-19 — the multi-chunk
+   chunkmax column and the beta>1 seginit rows:)
+  seginit      b=1.00: iters mean 44.5 med 43 p90 55 max 77 chunkmax 142
+                       nonconv 0 specrelerr 0.0087 Pratio 1.0000
+  seginit      b=1.50: iters 400 ALL 256 NON-CONVERGED specrelerr 0.246
+  seginit      b=1.75: iters 400 ALL 256 NON-CONVERGED specrelerr 0.246
+  seginit      b=2.00: iters 400 ALL 256 NON-CONVERGED specrelerr 0.246
 
 Conclusions: (1) the iteration count is set by the problem's conditioning,
 not by the starting point — starting from the spectrum-consistent

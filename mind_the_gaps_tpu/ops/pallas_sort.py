@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bitonic_sort_kv", "bitonic_argsort_remap"]
+__all__ = ["bitonic_sort_kv", "bitonic_sort_kv_t", "bitonic_argsort_remap"]
 
 _LANES = 128
 # roll-form block rows: small enough that a (blk, 128) key+value block
@@ -167,10 +167,14 @@ def _make_kernel(m: int, blk: int):
     return kernel
 
 
-def _make_hbm_kernel(m: int, C: int, blk: int):
+def _make_hbm_kernel(m: int, C: int, blk: int, parts: str = "all"):
     """Two-level bitonic kv-sort for m too large to keep a (m, 128)
     column tile in VMEM.  One dispatch; HBM-resident data; (C, 128)
     chunks staged through VMEM scratch by manual DMA.
+
+    ``parts`` is instrumentation-only (benchmarks/experiments/
+    sort65k_probe.py): "dma" runs the DMA schedule with no compute,
+    "p1" phase 1 only, "all" the real sort.
 
     Schedule (lg = log2(m), lgC = log2(C)):
     - phase 1: each chunk loads once and runs ALL intra-chunk levels
@@ -190,43 +194,55 @@ def _make_hbm_kernel(m: int, C: int, blk: int):
     def kernel(kh, vh, ko, vo, kb, vb, sems):
         col = pl.program_id(0) * _LANES
 
-        def load_chunk(slot, chunk, from_out):
+        def load_dmas(slot, chunk, from_out):
             src_k, src_v = (ko, vo) if from_out else (kh, vh)
-            c1 = pltpu.make_async_copy(
-                src_k.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
-                kb.at[slot], sems.at[slot, 0],
+            return (
+                pltpu.make_async_copy(
+                    src_k.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
+                    kb.at[slot], sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    src_v.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
+                    vb.at[slot], sems.at[slot, 1],
+                ),
             )
-            c2 = pltpu.make_async_copy(
-                src_v.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
-                vb.at[slot], sems.at[slot, 1],
+
+        def store_dmas(slot, chunk):
+            return (
+                pltpu.make_async_copy(
+                    kb.at[slot], ko.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
+                    sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    vb.at[slot], vo.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
+                    sems.at[slot, 1],
+                ),
             )
-            c1.start()
-            c2.start()
-            c1.wait()
-            c2.wait()
+
+        def start(dmas):
+            for d in dmas:
+                d.start()
+
+        def wait(dmas):
+            for d in dmas:
+                d.wait()
+
+        def load_chunk(slot, chunk, from_out):
+            start(load_dmas(slot, chunk, from_out))
+            wait(load_dmas(slot, chunk, from_out))
 
         def store_chunk(slot, chunk):
-            c1 = pltpu.make_async_copy(
-                kb.at[slot], ko.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
-                sems.at[slot, 0],
-            )
-            c2 = pltpu.make_async_copy(
-                vb.at[slot], vo.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
-                sems.at[slot, 1],
-            )
-            c1.start()
-            c2.start()
-            c1.wait()
-            c2.wait()
+            start(store_dmas(slot, chunk))
+            wait(store_dmas(slot, chunk))
 
         pos_blk = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
 
         def exchange(x, xv, p, pv, keep_min):
-            take_partner = jnp.logical_or(
-                jnp.logical_and(keep_min, p < x),
-                jnp.logical_and(jnp.logical_not(keep_min), p > x),
-            )
-            return jnp.where(take_partner, p, x), jnp.where(take_partner, pv, xv)
+            # min/max form: 2 ops fewer than the logical-mask form (ties
+            # keep the own value either way — xk == x when p == x)
+            xk = jnp.where(keep_min, jnp.minimum(x, p), jnp.maximum(x, p))
+            take_partner = xk != x
+            return xk, jnp.where(take_partner, pv, xv)
 
         def roll_step(x, xv, gbase, k_stage, j):
             """Stride 2^j (< blk) compare-exchange on an in-register
@@ -314,9 +330,17 @@ def _make_hbm_kernel(m: int, C: int, blk: int):
         ]
 
         # ---- phase 1: per-chunk local sort (levels 1..lgC) ---- #
+        # Serial load/compute/store.  A double-buffered variant (chunk
+        # c+1's load and c-1's store in flight during chunk c's compute)
+        # was built and measured 2026-08-19: WASH (6.06 vs 5.68 ms at
+        # m=65536 across processes) — phase 1 owns only ~0.33 ms of the
+        # 1.83 ms DMA schedule, and Mosaic serializes around the
+        # dynamic-slot scratch accesses anyway.  Reverted to the simple
+        # form.
         def phase1(c, _):
             load_chunk(0, c, from_out=False)
-            run_stages(0, c * C, local_levels)
+            if parts != "dma":
+                run_stages(0, c * C, local_levels)
             store_chunk(0, c)
             return jnp.int32(0)
 
@@ -349,7 +373,8 @@ def _make_hbm_kernel(m: int, C: int, blk: int):
                         a = q * 2
                     load_chunk(0, a, from_out=True)
                     load_chunk(1, a + (1 << jb), from_out=True)
-                    cross_exchange(k_stage, a * C)
+                    if parts == "all":
+                        cross_exchange(k_stage, a * C)
                     store_chunk(0, a)
                     store_chunk(1, a + (1 << jb))
                     return jnp.int32(0)
@@ -362,9 +387,10 @@ def _make_hbm_kernel(m: int, C: int, blk: int):
                 a = q * 2
                 load_chunk(0, a, from_out=True)
                 load_chunk(1, a + 1, from_out=True)
-                cross_exchange(k_stage, a * C)  # the stride-C stage
-                run_stages(0, a * C, tail)
-                run_stages(1, (a + 1) * C, tail)
+                if parts == "all":
+                    cross_exchange(k_stage, a * C)  # the stride-C stage
+                    run_stages(0, a * C, tail)
+                    run_stages(1, (a + 1) * C, tail)
                 store_chunk(0, a)
                 store_chunk(1, a + 1)
                 return jnp.int32(0)
@@ -382,31 +408,17 @@ _MAX_VMEM_M = 8192
 _HBM_CHUNK = 4096
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def bitonic_sort_kv(keys, vals, interpret: bool = False):
-    """Sort ``keys`` ascending along the LAST axis, carrying ``vals``.
-
-    keys/vals: (..., m) float32, m a power of two; the product of the
-    leading axes must be a multiple of 128.  Returns (keys, vals)
-    sorted.  Unstable for equal keys (bitonic network).
-    """
-    keys = jnp.asarray(keys, dtype=jnp.float32)
-    vals = jnp.asarray(vals, dtype=jnp.float32)
-    if keys.shape != vals.shape:
-        raise ValueError("keys and vals must have the same shape")
-    lead = keys.shape[:-1]
-    m = keys.shape[-1]
+def _sort_t(kT, vT, interpret: bool):
+    """Core (m, B)-layout sort along axis 0 (sublanes); see
+    ``bitonic_sort_kv`` for the contract."""
+    m, B = kT.shape
     if m & (m - 1):
         raise ValueError("sort length must be a power of two")
-    B = int(np.prod(lead)) if lead else 1
     if B % _LANES:
         raise ValueError(f"batch must be a multiple of {_LANES}")
     blk = min(_BLK, m)
     if m < 8:
         raise ValueError("sort length must be >= 8")
-
-    kT = keys.reshape(B, m).T  # (m, B)
-    vT = vals.reshape(B, m).T
 
     if m <= _MAX_VMEM_M:
         kernel = _make_kernel(m, blk)
@@ -453,8 +465,42 @@ def bitonic_sort_kv(keys, vals, interpret: bool = False):
             interpret=interpret,
         )
     with jax.enable_x64(False):
-        ko, vo = call(kT, vT)
+        return call(kT, vT)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bitonic_sort_kv(keys, vals, interpret: bool = False):
+    """Sort ``keys`` ascending along the LAST axis, carrying ``vals``.
+
+    keys/vals: (..., m) float32, m a power of two; the product of the
+    leading axes must be a multiple of 128.  Returns (keys, vals)
+    sorted.  Unstable for equal keys (bitonic network).
+    """
+    keys = jnp.asarray(keys, dtype=jnp.float32)
+    vals = jnp.asarray(vals, dtype=jnp.float32)
+    if keys.shape != vals.shape:
+        raise ValueError("keys and vals must have the same shape")
+    lead = keys.shape[:-1]
+    m = keys.shape[-1]
+    B = int(np.prod(lead)) if lead else 1
+    ko, vo = _sort_t(keys.reshape(B, m).T, vals.reshape(B, m).T, interpret)
     return ko.T.reshape(keys.shape), vo.T.reshape(vals.shape)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bitonic_sort_kv_t(keysT, valsT, interpret: bool = False):
+    """Transposed-layout sort: keys/vals are (m, B) and sort along the
+    FIRST axis.  This is the kernel's native layout — callers that keep
+    their state in (m, B) space skip the 4 strided (m, B)<->(B, m) HBM
+    transposes per sort that ``bitonic_sort_kv`` pays (measured ~3.8 ms
+    of the 9.48 ms round-4 remap sort at (128, 65536), vs 5.68 ms for
+    the kernel itself — sort65k_probe.py).  Same unstable-tie contract.
+    """
+    keysT = jnp.asarray(keysT, dtype=jnp.float32)
+    valsT = jnp.asarray(valsT, dtype=jnp.float32)
+    if keysT.shape != valsT.shape or keysT.ndim != 2:
+        raise ValueError("keysT and valsT must be equal-shape (m, B) arrays")
+    return _sort_t(keysT, valsT, interpret)
 
 
 def bitonic_argsort_remap(adj, sorted_draws, interpret: bool = False):

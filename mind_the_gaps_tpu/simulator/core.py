@@ -169,25 +169,38 @@ def e13_adjust_batch(keys, segments, pdf: str, mean, max_iter: int,
     sorted_draws32 = sorted_draws.astype(jnp.float32)
 
     if sort_impl == "pallas":
-        from mind_the_gaps_tpu.ops.pallas_sort import bitonic_sort_kv
+        from mind_the_gaps_tpu.ops.pallas_sort import bitonic_sort_kv_t
 
-        iota32 = jnp.broadcast_to(
-            jnp.arange(m, dtype=jnp.float32)[None, :], (Bc, m)
+        # the sorts run in the kernel's native (m, Bc) layout: only the
+        # spectral-step input/output transposes remain per iteration
+        # (bitonic_sort_kv's per-call transposes measured ~3.8 ms of the
+        # 9.48 ms sort at (128, 65536)); the iota payload and the sorted
+        # draws are loop constants hoisted out of the while_loop
+        iota32T = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.float32)[:, None], (m, Bc)
         )
+        sorted_draws32T = sorted_draws32.T
 
         def remap(adj):
             # rank-order remap as two kv-sorts (see e13_adjust): exact
             # in f32 — the iota payload and the permutation keys are
             # integers < 2^24
-            _, perm = bitonic_sort_kv(-adj, iota32, interpret=interpret)
-            _, xnew = bitonic_sort_kv(perm, sorted_draws32, interpret=interpret)
-            return xnew, perm.astype(jnp.int32)
+            _, permT = bitonic_sort_kv_t(-adj.T, iota32T, interpret=interpret)
+            _, xnewT = bitonic_sort_kv_t(permT, sorted_draws32T, interpret=interpret)
+            return xnewT.T, permT
+
+        # order is carried through the loop as (m, Bc) f32 (permT)
+        freeze_order = lambda a, new, old: jnp.where(a[None, :], new, old)  # noqa: E731
+        order_final = lambda o: o.T.astype(jnp.int32)  # noqa: E731
     else:
 
         def remap(adj):
             order = jnp.argsort(-adj, axis=-1)
             _, xnew = jax.lax.sort_key_val(order, sorted_draws32, dimension=-1)
             return xnew, order
+
+        freeze_order = lambda a, new, old: jnp.where(a[:, None], new, old)  # noqa: E731
+        order_final = lambda o: o  # noqa: E731
 
     def spectral_step(x32):
         phases = jnp.angle(jnp.fft.rfft(x32, axis=-1))
@@ -207,7 +220,7 @@ def e13_adjust_batch(keys, segments, pdf: str, mean, max_iter: int,
         a = active[:, None]
         xprev_n = jnp.where(a, xadj, xprev)
         xadj_n = jnp.where(a, xnew, xadj)
-        order_n = jnp.where(a, order_new, order)
+        order_n = freeze_order(active, order_new, order)
         it_n = jnp.where(active, it + 1, it)
         close = jnp.all(
             jnp.abs(xadj_n - xprev_n) <= atol + rtol * jnp.abs(xprev_n), axis=-1
@@ -221,6 +234,7 @@ def e13_adjust_batch(keys, segments, pdf: str, mean, max_iter: int,
     _, xadj, order, iters, _ = jax.lax.while_loop(
         cond, body, (x0, xadj, order, jnp.zeros((Bc,), jnp.int32), active0)
     )
+    order = order_final(order)
     out = jax.vmap(lambda o, sd: jnp.zeros_like(sd).at[o].set(sd))(order, sorted_draws)
     return out, iters
 
