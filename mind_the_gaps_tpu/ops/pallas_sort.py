@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bitonic_sort_kv", "bitonic_sort_kv_t", "bitonic_argsort_remap"]
+__all__ = ["bitonic_sort_kv", "bitonic_sort_kv_t", "bitonic_remap_t", "bitonic_argsort_remap"]
 
 _LANES = 128
 # roll-form block rows: small enough that a (blk, 128) key+value block
@@ -167,58 +167,21 @@ def _make_kernel(m: int, blk: int):
     return kernel
 
 
-def _make_hbm_kernel(m: int, C: int, blk: int, parts: str = "all"):
-    """Two-level bitonic kv-sort for m too large to keep a (m, 128)
-    column tile in VMEM.  One dispatch; HBM-resident data; (C, 128)
-    chunks staged through VMEM scratch by manual DMA.
-
-    ``parts`` is instrumentation-only (benchmarks/experiments/
-    sort65k_probe.py): "dma" runs the DMA schedule with no compute,
-    "p1" phase 1 only, "all" the real sort.
-
-    Schedule (lg = log2(m), lgC = log2(C)):
-    - phase 1: each chunk loads once and runs ALL intra-chunk levels
-      (1..lgC) in VMEM — one HBM round trip for 78 of the 136 stages at
-      m=65536/C=4096.
-    - phase 2, level k in lgC+1..lg: strides > C are chunk-pair
-      compare-exchanges (one round trip each); the stride-C stage is
-      fused with the level's whole intra-chunk tail (j < lgC) while the
-      pair is resident.
-    Total HBM round trips: 1 + sum_{k>lgC}(k - lgC) = 11 at m=65536.
+def _hbm_network(m: int, C: int, blk: int, parts: str = "all"):
+    """Builder for the two-level HBM-tiled bitonic network (see
+    ``_make_hbm_kernel``).  Returns ``net(col, kb, vb, sems)`` ->
+    ``run(kin, vin, kio, vio)``: one full kv-sort reading keys from
+    ``kin`` (vals from ``vin``, or a generated row-index iota when
+    ``vin is None``) and leaving the sorted pair in ``kio``/``vio`` —
+    so a kernel can chain several sorts in ONE dispatch
+    (``_make_hbm_remap_kernel``).
     """
     lg = m.bit_length() - 1
     lgC = C.bit_length() - 1
     b = blk.bit_length() - 1
     nchunks = m // C
 
-    def kernel(kh, vh, ko, vo, kb, vb, sems):
-        col = pl.program_id(0) * _LANES
-
-        def load_dmas(slot, chunk, from_out):
-            src_k, src_v = (ko, vo) if from_out else (kh, vh)
-            return (
-                pltpu.make_async_copy(
-                    src_k.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
-                    kb.at[slot], sems.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    src_v.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
-                    vb.at[slot], sems.at[slot, 1],
-                ),
-            )
-
-        def store_dmas(slot, chunk):
-            return (
-                pltpu.make_async_copy(
-                    kb.at[slot], ko.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
-                    sems.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    vb.at[slot], vo.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)],
-                    sems.at[slot, 1],
-                ),
-            )
-
+    def net(col, kb, vb, sems):
         def start(dmas):
             for d in dmas:
                 d.start()
@@ -226,14 +189,6 @@ def _make_hbm_kernel(m: int, C: int, blk: int, parts: str = "all"):
         def wait(dmas):
             for d in dmas:
                 d.wait()
-
-        def load_chunk(slot, chunk, from_out):
-            start(load_dmas(slot, chunk, from_out))
-            wait(load_dmas(slot, chunk, from_out))
-
-        def store_chunk(slot, chunk):
-            start(store_dmas(slot, chunk))
-            wait(store_dmas(slot, chunk))
 
         pos_blk = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
 
@@ -325,27 +280,6 @@ def _make_hbm_kernel(m: int, C: int, blk: int, parts: str = "all"):
             if pending:
                 fused_small_pass(slot, gb, pending)
 
-        local_levels = [
-            (k_stage, j) for k_stage in range(1, lgC + 1) for j in range(k_stage - 1, -1, -1)
-        ]
-
-        # ---- phase 1: per-chunk local sort (levels 1..lgC) ---- #
-        # Serial load/compute/store.  A double-buffered variant (chunk
-        # c+1's load and c-1's store in flight during chunk c's compute)
-        # was built and measured 2026-08-19: WASH (6.06 vs 5.68 ms at
-        # m=65536 across processes) — phase 1 owns only ~0.33 ms of the
-        # 1.83 ms DMA schedule, and Mosaic serializes around the
-        # dynamic-slot scratch accesses anyway.  Reverted to the simple
-        # form.
-        def phase1(c, _):
-            load_chunk(0, c, from_out=False)
-            if parts != "dma":
-                run_stages(0, c * C, local_levels)
-            store_chunk(0, c)
-            return jnp.int32(0)
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), phase1, jnp.int32(0))
-
         def cross_exchange(k_stage, gb_lo):
             """Elementwise compare-exchange between the chunks in slots
             0 (global base gb_lo) and 1 (gb_lo + stride)."""
@@ -360,44 +294,159 @@ def _make_hbm_kernel(m: int, C: int, blk: int, parts: str = "all"):
             vb[0] = jnp.where(swap, hi_v, lo_v)
             vb[1] = jnp.where(swap, lo_v, hi_v)
 
-        # ---- phase 2: cross-chunk merge levels ---- #
-        for k_stage in range(lgC + 1, lg + 1):
-            tail = [(k_stage, j) for j in range(lgC - 1, -1, -1)]
-            for j in range(k_stage - 1, lgC, -1):
-                jb = j - lgC  # chunk-index bit that must be 0
+        local_levels = [
+            (k_stage, j) for k_stage in range(1, lgC + 1) for j in range(k_stage - 1, -1, -1)
+        ]
 
-                def pure_pass(q, _, k_stage=k_stage, jb=jb):
-                    if jb > 0:
-                        a = ((q >> jb) << (jb + 1)) | (q & ((1 << jb) - 1))
-                    else:
-                        a = q * 2
-                    load_chunk(0, a, from_out=True)
-                    load_chunk(1, a + (1 << jb), from_out=True)
+        def run(kin, vin, kio, vio):
+            def hbm_slice(ref, chunk):
+                return ref.at[pl.ds(chunk * C, C), pl.ds(col, _LANES)]
+
+            def load_dmas(slot, chunk, ksrc, vsrc):
+                dmas = [
+                    pltpu.make_async_copy(
+                        hbm_slice(ksrc, chunk), kb.at[slot], sems.at[slot, 0]
+                    )
+                ]
+                if vsrc is not None:
+                    dmas.append(
+                        pltpu.make_async_copy(
+                            hbm_slice(vsrc, chunk), vb.at[slot], sems.at[slot, 1]
+                        )
+                    )
+                return tuple(dmas)
+
+            def store_dmas(slot, chunk):
+                return (
+                    pltpu.make_async_copy(
+                        kb.at[slot], hbm_slice(kio, chunk), sems.at[slot, 0]
+                    ),
+                    pltpu.make_async_copy(
+                        vb.at[slot], hbm_slice(vio, chunk), sems.at[slot, 1]
+                    ),
+                )
+
+            def load_chunk(slot, chunk, ksrc, vsrc):
+                start(load_dmas(slot, chunk, ksrc, vsrc))
+                wait(load_dmas(slot, chunk, ksrc, vsrc))
+
+            def store_chunk(slot, chunk):
+                start(store_dmas(slot, chunk))
+                wait(store_dmas(slot, chunk))
+
+            # ---- phase 1: per-chunk local sort (levels 1..lgC) ---- #
+            # Serial load/compute/store.  A double-buffered variant
+            # (chunk c+1's load and c-1's store in flight during chunk
+            # c's compute) was built and measured 2026-08-19: WASH
+            # (6.06 vs 5.68 ms at m=65536 across processes) — phase 1
+            # owns only ~0.33 ms of the 1.83 ms DMA schedule, and Mosaic
+            # serializes around the dynamic-slot scratch accesses
+            # anyway.  Reverted to the simple form.
+            def phase1(c, _):
+                load_chunk(0, c, kin, vin)
+                if vin is None:
+                    # generated payload: the global row index (the
+                    # argsort iota) — saves the iota's HBM round trip.
+                    # tpu.iota is integer-only: build i32, cast to f32
+                    vb[0] = (
+                        jax.lax.broadcasted_iota(jnp.int32, (C, _LANES), 0) + c * C
+                    ).astype(jnp.float32)
+                if parts != "dma":
+                    run_stages(0, c * C, local_levels)
+                store_chunk(0, c)
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), phase1, jnp.int32(0))
+
+            # ---- phase 2: cross-chunk merge levels ---- #
+            for k_stage in range(lgC + 1, lg + 1):
+                tail = [(k_stage, j) for j in range(lgC - 1, -1, -1)]
+                for j in range(k_stage - 1, lgC, -1):
+                    jb = j - lgC  # chunk-index bit that must be 0
+
+                    def pure_pass(q, _, k_stage=k_stage, jb=jb):
+                        if jb > 0:
+                            a = ((q >> jb) << (jb + 1)) | (q & ((1 << jb) - 1))
+                        else:
+                            a = q * 2
+                        load_chunk(0, a, kio, vio)
+                        load_chunk(1, a + (1 << jb), kio, vio)
+                        if parts == "all":
+                            cross_exchange(k_stage, a * C)
+                        store_chunk(0, a)
+                        store_chunk(1, a + (1 << jb))
+                        return jnp.int32(0)
+
+                    jax.lax.fori_loop(
+                        jnp.int32(0), jnp.int32(nchunks // 2), pure_pass, jnp.int32(0)
+                    )
+
+                def fused_pass(q, _, k_stage=k_stage, tail=tail):
+                    a = q * 2
+                    load_chunk(0, a, kio, vio)
+                    load_chunk(1, a + 1, kio, vio)
                     if parts == "all":
-                        cross_exchange(k_stage, a * C)
+                        cross_exchange(k_stage, a * C)  # the stride-C stage
+                        run_stages(0, a * C, tail)
+                        run_stages(1, (a + 1) * C, tail)
                     store_chunk(0, a)
-                    store_chunk(1, a + (1 << jb))
+                    store_chunk(1, a + 1)
                     return jnp.int32(0)
 
                 jax.lax.fori_loop(
-                    jnp.int32(0), jnp.int32(nchunks // 2), pure_pass, jnp.int32(0)
+                    jnp.int32(0), jnp.int32(nchunks // 2), fused_pass, jnp.int32(0)
                 )
 
-            def fused_pass(q, _, k_stage=k_stage, tail=tail):
-                a = q * 2
-                load_chunk(0, a, from_out=True)
-                load_chunk(1, a + 1, from_out=True)
-                if parts == "all":
-                    cross_exchange(k_stage, a * C)  # the stride-C stage
-                    run_stages(0, a * C, tail)
-                    run_stages(1, (a + 1) * C, tail)
-                store_chunk(0, a)
-                store_chunk(1, a + 1)
-                return jnp.int32(0)
+        return run
 
-            jax.lax.fori_loop(
-                jnp.int32(0), jnp.int32(nchunks // 2), fused_pass, jnp.int32(0)
-            )
+    return net
+
+
+def _make_hbm_kernel(m: int, C: int, blk: int, parts: str = "all"):
+    """Two-level bitonic kv-sort for m too large to keep a (m, 128)
+    column tile in VMEM.  One dispatch; HBM-resident data; (C, 128)
+    chunks staged through VMEM scratch by manual DMA.
+
+    ``parts`` is instrumentation-only (benchmarks/experiments/
+    sort65k_probe.py): "dma" runs the DMA schedule with no compute,
+    "p1" phase 1 only, "all" the real sort.
+
+    Schedule (lg = log2(m), lgC = log2(C)):
+    - phase 1: each chunk loads once and runs ALL intra-chunk levels
+      (1..lgC) in VMEM — one HBM round trip for 78 of the 136 stages at
+      m=65536/C=4096.
+    - phase 2, level k in lgC+1..lg: strides > C are chunk-pair
+      compare-exchanges (one round trip each); the stride-C stage is
+      fused with the level's whole intra-chunk tail (j < lgC) while the
+      pair is resident.
+    Total HBM round trips: 1 + sum_{k>lgC}(k - lgC) = 11 at m=65536.
+    """
+    net = _hbm_network(m, C, blk, parts)
+
+    def kernel(kh, vh, ko, vo, kb, vb, sems):
+        run = net(pl.program_id(0) * _LANES, kb, vb, sems)
+        run(kh, vh, ko, vo)
+
+    return kernel
+
+
+def _make_hbm_remap_kernel(m: int, C: int, blk: int):
+    """Fused rank-order remap: BOTH sorts of
+    ``sort_key_val(argsort(-adj), draws)`` in ONE dispatch.
+
+    Sort 1 reads keys from ``adjn`` (= -adj, so ascending = adj
+    descending) with a GENERATED row-index payload (no iota HBM read)
+    and leaves the permutation in ``permT``; sort 2 re-reads ``permT``
+    as keys (leaving it intact for the caller — the sorted keys go to
+    the ``ks2`` scratch) carrying ``drawsT`` into ``xnewT``.  Saves one
+    kernel launch (~1.5 ms on the shared pool) and the iota traffic per
+    E13 iteration vs two ``bitonic_sort_kv_t`` calls."""
+    net = _hbm_network(m, C, blk)
+
+    def kernel(adjn, drawsT, ks1, permT, ks2, xnewT, kb, vb, sems):
+        run = net(pl.program_id(0) * _LANES, kb, vb, sems)
+        run(adjn, None, ks1, permT)
+        run(permT, drawsT, ks2, xnewT)
 
     return kernel
 
@@ -501,6 +550,52 @@ def bitonic_sort_kv_t(keysT, valsT, interpret: bool = False):
     if keysT.shape != valsT.shape or keysT.ndim != 2:
         raise ValueError("keysT and valsT must be equal-shape (m, B) arrays")
     return _sort_t(keysT, valsT, interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bitonic_remap_t(adjnT, drawsT, interpret: bool = False):
+    """Fused transposed-layout rank-order remap in ONE kernel dispatch.
+
+    adjnT: (m, B) NEGATED adjustment keys (so ascending sort = adj
+    descending); drawsT: (m, B) descending-sorted draws.  Returns
+    ``(permT, xnewT)`` — permT f32 is argsort(adjnT, axis=0) and xnewT
+    the draws remapped to adjnT's rank positions — exactly the two
+    ``bitonic_sort_kv_t`` calls of the remap, but one launch: sort 1
+    generates its row-index payload in-kernel and sort 2 chains off
+    ``permT`` inside the same dispatch.  Falls back to two calls at
+    VMEM-resident sizes.  Same unstable-tie contract.
+    """
+    adjnT = jnp.asarray(adjnT, dtype=jnp.float32)
+    drawsT = jnp.asarray(drawsT, dtype=jnp.float32)
+    if adjnT.shape != drawsT.shape or adjnT.ndim != 2:
+        raise ValueError("adjnT and drawsT must be equal-shape (m, B) arrays")
+    m, B = adjnT.shape
+    if m & (m - 1):
+        raise ValueError("sort length must be a power of two")
+    if B % _LANES:
+        raise ValueError(f"batch must be a multiple of {_LANES}")
+    if m <= _MAX_VMEM_M:
+        iotaT = jnp.broadcast_to(jnp.arange(m, dtype=jnp.float32)[:, None], (m, B))
+        _, permT = _sort_t(adjnT, iotaT, interpret)
+        _, xnewT = _sort_t(permT, drawsT, interpret)
+        return permT, xnewT
+    C = _HBM_CHUNK
+    call = pl.pallas_call(
+        _make_hbm_remap_kernel(m, C, min(_BLK, m)),
+        out_shape=(jax.ShapeDtypeStruct((m, B), jnp.float32),) * 4,
+        grid=(B // _LANES,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, C, _LANES), jnp.float32),
+            pltpu.VMEM((2, C, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )
+    with jax.enable_x64(False):
+        _, permT, _, xnewT = call(adjnT, drawsT)
+    return permT, xnewT
 
 
 def bitonic_argsort_remap(adj, sorted_draws, interpret: bool = False):

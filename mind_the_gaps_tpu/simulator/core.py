@@ -169,24 +169,21 @@ def e13_adjust_batch(keys, segments, pdf: str, mean, max_iter: int,
     sorted_draws32 = sorted_draws.astype(jnp.float32)
 
     if sort_impl == "pallas":
-        from mind_the_gaps_tpu.ops.pallas_sort import bitonic_sort_kv_t
+        from mind_the_gaps_tpu.ops.pallas_sort import bitonic_remap_t
 
         # the sorts run in the kernel's native (m, Bc) layout: only the
         # spectral-step input/output transposes remain per iteration
         # (bitonic_sort_kv's per-call transposes measured ~3.8 ms of the
-        # 9.48 ms sort at (128, 65536)); the iota payload and the sorted
-        # draws are loop constants hoisted out of the while_loop
-        iota32T = jnp.broadcast_to(
-            jnp.arange(m, dtype=jnp.float32)[:, None], (m, Bc)
-        )
+        # 9.48 ms sort at (128, 65536)); the sorted draws are a loop
+        # constant hoisted out of the while_loop, and both remap sorts
+        # run in ONE kernel dispatch (bitonic_remap_t)
         sorted_draws32T = sorted_draws32.T
 
         def remap(adj):
-            # rank-order remap as two kv-sorts (see e13_adjust): exact
-            # in f32 — the iota payload and the permutation keys are
-            # integers < 2^24
-            _, permT = bitonic_sort_kv_t(-adj.T, iota32T, interpret=interpret)
-            _, xnewT = bitonic_sort_kv_t(permT, sorted_draws32T, interpret=interpret)
+            # rank-order remap as two fused kv-sorts (see e13_adjust):
+            # exact in f32 — the row-index payload and the permutation
+            # keys are integers < 2^24
+            permT, xnewT = bitonic_remap_t(-adj.T, sorted_draws32T, interpret=interpret)
             return xnewT.T, permT
 
         # order is carried through the loop as (m, Bc) f32 (permT)

@@ -77,6 +77,41 @@ def test_hbm_tier_matches_numpy(B):
     np.testing.assert_array_equal(np.asarray(vo), np.take_along_axis(v, order, 0))
 
 
+def test_hbm_fused_remap_matches_two_sorts():
+    """The fused one-dispatch remap kernel (sort 1 with generated iota
+    payload chained into sort 2) equals the reference argsort+scatter
+    remap, at the same test geometry as the HBM-tier sort test."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mind_the_gaps_tpu.ops.pallas_sort import _LANES, _make_hbm_remap_kernel
+
+    m, C, blk, B = 1024, 256, 64, 128
+    call = pl.pallas_call(
+        _make_hbm_remap_kernel(m, C, blk),
+        out_shape=(jax.ShapeDtypeStruct((m, B), jnp.float32),) * 4,
+        grid=(B // _LANES,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, C, _LANES), jnp.float32),
+            pltpu.VMEM((2, C, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=True,
+    )
+    rng = np.random.default_rng(11)
+    adj = rng.permutation(m * B).reshape(B, m).astype(np.float32) * 0.01
+    draws = -np.sort(-rng.normal(size=(B, m)).astype(np.float32), axis=-1)
+    with jax.enable_x64(False):
+        _, permT, _, xnewT = call(jnp.asarray(-adj.T), jnp.asarray(draws.T))
+    order = np.argsort(-adj, axis=-1)
+    np.testing.assert_array_equal(np.asarray(permT).T.astype(np.int64), order)
+    ref = np.zeros_like(draws)
+    np.put_along_axis(ref, order, draws, axis=-1)
+    np.testing.assert_array_equal(np.asarray(xnewT).T, ref)
+
+
 def test_big_m_routes_to_hbm_kernel():
     """bitonic_sort_kv routes m > 8192 through the HBM tier (the
     resident kernel's (m, 128) tile would be 2x VMEM at 65536)."""
