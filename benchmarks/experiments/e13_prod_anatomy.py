@@ -21,8 +21,25 @@ It then times the three suspect primitives in isolation.  Timing per
 runtime rules: fresh keys per rep, device accumulate, ONE fetch, first
 loop discarded.
 
-MEASURED: see the run log appended below by the probe session (v5e
-single chip; within one process — cross-process varies +-2-3x).
+MEASURED (v5e single chip, 2026-08-19, pre-fix code; within one
+process — cross-process varies +-2-3x):
+
+  production scenario: m_cut=65536, fine grid 131072
+    cut-only (TK95+slice)     :     78.6 ms/chunk
+    cut+prep (+draws/sort/A)  :    114.7 ms/chunk
+    full E13 batch (loop)     :   1391.4 ms/chunk
+    full chunk pipeline       :   1400.2 ms/chunk
+    mean iters 15.1
+    iso f64 sort (128,65536)  :     53.5 ms
+    iso f32 sort (128,65536)  :     37.3 ms
+    iso f64 scatter by order  :   1125.6 ms   <-- 80% of the chunk
+    iso f64 cumsum+window     :     52.4 ms
+
+The "half the cost is outside the loop" hypothesis was WRONG in an
+interesting way: the cost was the final f64 SCATTER inside
+e13_adjust_batch (counted as "loop" in the earlier split).  Fix +
+acceptance: e13_outofloop_fix.py (scatter -> i32-keyed sort_key_val,
+1093.5 -> 18.0 ms, chunk 1400 -> 344 ms = 4.1x).
 """
 from __future__ import annotations
 

@@ -85,6 +85,15 @@ def tk95_rates(key, psd_values, n_fft: int, dt: float):
     return rate
 
 
+def _apply_rank_permutation(order, sorted_draws):
+    """``out[order[i]] = sorted_draws[i]`` without a scatter: sorting
+    the permutation as integer keys applies its inverse to the payload
+    (bit-identical; the same trick the loop's remap uses, where the
+    scatter measured 2.6 ms vs 0.24 ms for the key-sort at m=8192)."""
+    _, out = jax.lax.sort_key_val(order, sorted_draws, dimension=-1)
+    return out
+
+
 def e13_adjust(key, segment_rates, pdf: str, mean, max_iter: int, std=None, rtol=1e-4, atol=1e-8):
     """Emmanoulopoulos+2013 amplitude/rank-order iteration on a segment.
 
@@ -103,7 +112,11 @@ def e13_adjust(key, segment_rates, pdf: str, mean, max_iter: int, std=None, rtol
     # original full-precision draws.
     amplitudes_norm = jnp.abs(jnp.fft.rfft(segment_rates.astype(jnp.float32))) / namp
     # every iterate is a permutation of the initial draw, so its sorted
-    # values are loop constants: one argsort per iteration, not two
+    # values are loop constants: one argsort per iteration, not two.
+    # (A two-f32-key lexicographic form of this f64 sort — head +
+    # emulation residual, exact on TPU — measured a WASH on chip, 21.9
+    # vs 21.7 ms at (128, 65536): the sort is HBM-bound, not
+    # comparator-bound.  benchmarks/experiments/e13_outofloop_fix.py.)
     sorted_draws = -jnp.sort(-xsim)
     sorted_draws32 = sorted_draws.astype(jnp.float32)
 
@@ -135,7 +148,7 @@ def e13_adjust(key, segment_rates, pdf: str, mean, max_iter: int, std=None, rtol
         not_converged, body, (x0, xadj, order, 0)
     )
     # apply the final permutation to the full-precision draws
-    out = jnp.zeros_like(sorted_draws).at[order].set(sorted_draws)
+    out = _apply_rank_permutation(order, sorted_draws)
     return out, iters
 
 
@@ -232,7 +245,7 @@ def e13_adjust_batch(keys, segments, pdf: str, mean, max_iter: int,
         cond, body, (x0, xadj, order, jnp.zeros((Bc,), jnp.int32), active0)
     )
     order = order_final(order)
-    out = jax.vmap(lambda o, sd: jnp.zeros_like(sd).at[o].set(sd))(order, sorted_draws)
+    out = _apply_rank_permutation(order, sorted_draws)
     return out, iters
 
 

@@ -156,3 +156,22 @@ def test_sampler_segment_onchip():
     assert abs(float(gp.max_loglikelihood) - ll_ref) < 1e-5, (
         float(gp.max_loglikelihood), ll_ref,
     )
+
+
+def test_rank_permutation_keysort_exact_onchip():
+    """`_apply_rank_permutation` (the i32-keyed sort_key_val that
+    replaced the final f64 scatter — 1093.5 -> 18.0 ms at the
+    production (128, 65536) shape) must stay BIT-identical to the
+    scatter it replaced, on the real chip."""
+    from mind_the_gaps_tpu.simulator.core import _apply_rank_permutation
+
+    kk = jax.random.key(13)
+    order = jax.vmap(lambda k1: jax.random.permutation(k1, 8192))(
+        jax.random.split(kk, 8)
+    ).astype(jnp.int32)
+    draws = jnp.exp(2.0 + 0.7 * jax.random.normal(kk, (8, 8192), dtype=jnp.float64))
+    ref = np.asarray(
+        jax.jit(jax.vmap(lambda o, sd: jnp.zeros_like(sd).at[o].set(sd)))(order, draws)
+    )
+    out = np.asarray(jax.jit(_apply_rank_permutation)(order, draws))
+    np.testing.assert_array_equal(out, ref)
