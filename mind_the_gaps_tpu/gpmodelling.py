@@ -1377,6 +1377,12 @@ class GPModelling:
                 k1, k2, th, jax.ShapeDtypeStruct((), jnp.float64)
             )
             return gen_bound
+
+        # non-Gaussian: the generation stays a host-chunked loop around
+        # the E13 lock-step chunk program; expose that program's entry
+        # precompile so the LRT can overlap its (large) compile with the
+        # observed fits (simulator/core.py precompile_batch)
+        gen.precompile = lambda executor: simulator.precompile_batch(executor)
         return gen
 
     def generate_batch_from_posteriors(

@@ -694,6 +694,43 @@ class Simulator:
             )
         return jnp.concatenate(outs, axis=0)
 
+    def precompile_batch(self, executor, chunk: Union[int, None] = None):
+        """Start the E13 chunk program's backend compile on ``executor``.
+
+        The lock-step chunk program is the one LARGE compile of the
+        non-Gaussian generation path; without this it compiled serially
+        on the first bootstrap chunk, AFTER the observed fits (measured:
+        a cold lognormal 10k LRT stalled ~158 s between "observed fits
+        done" and the first chunk dispatch — benchmarks/lrt_10k.py
+        --pdf Lognormal, 2026-08-19).  Lowers on the CALLER's thread —
+        concurrent tracing makes persistent-cache keys irreproducible
+        (see the lrt.py entry notes) — and submits only the backend
+        compile; the runtime jit dispatch re-traces and hits the warm
+        cache.  No-op (returns None) for Gaussian PDFs or when the
+        Pallas chunk path is gated off (``simulate_batch`` then runs
+        the per-row vmapped program instead).
+        """
+        if self.pdf.lower() == "gaussian":
+            return None
+        if chunk is None:
+            chunk = self._e13_chunk_default()
+        if not (
+            jax.default_backend() == "tpu"
+            and getattr(self, "_e13_cut_len", 0) > 8192
+            and chunk % 128 == 0
+        ):
+            return None
+        if self._chunk_pipeline is None:
+            self._chunk_pipeline = self._build_chunk_pipeline("pallas")
+        keys_aval = jax.eval_shape(lambda: jax.random.split(jax.random.key(0), chunk))
+        psd_aval = jax.ShapeDtypeStruct((chunk, self._omega.shape[0]), jnp.float64)
+        mean_aval = jax.ShapeDtypeStruct((), jnp.float64)
+        try:
+            lowered = self._chunk_pipeline.lower(keys_aval, psd_aval, mean_aval)
+        except Exception:
+            return None
+        return executor.submit(lowered.compile)
+
     def add_noise_batch(self, key, rates_batch):
         keys = jax.random.split(key, rates_batch.shape[0])
         return jax.vmap(self.noise.add_noise_jax)(keys, rates_batch)

@@ -488,3 +488,36 @@ class TestRegularlySampledLorentzian:
 
     def test_variance(self):
         assert abs(self.outputvariance - self.variance) < 0.02
+
+
+def test_precompile_batch_gating():
+    """Simulator.precompile_batch is the LRT entry hook that overlaps
+    the E13 chunk program's (large) compile with the observed fits; it
+    must be a clean no-op for Gaussian PDFs and whenever the Pallas
+    chunk path is gated off (non-TPU backends, small cuts), and the
+    non-Gaussian device generator must expose it as ``.precompile``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mind_the_gaps_tpu import GappyLightcurve
+    from mind_the_gaps_tpu.gpmodelling import GPModelling
+    from mind_the_gaps_tpu.kernels import DampedRandomWalk
+
+    timestamps = np.arange(0, 2000, 1.0)
+    psd_model = psd_models.BendingPowerlaw(S0=5.0, omega0=np.exp(-3))
+    with ThreadPoolExecutor(1) as ex:
+        for pdf in ("Gaussian", "Lognormal"):
+            simu = Simulator(
+                psd_model, timestamps, 1.0, 7.0, pdf, extension_factor=1.05,
+                aliasing_factor=1, random_state=42,
+            )
+            # CPU backend: the Pallas gate is off -> None, no side effects
+            assert simu.precompile_batch(ex) is None
+
+        rng = np.random.default_rng(3)
+        lc = GappyLightcurve(
+            timestamps, rng.normal(7.0, 1.0, len(timestamps)),
+            np.full(len(timestamps), 0.3), exposures=1.0,
+        )
+        model = GPModelling(lc, DampedRandomWalk(log_S0=1.0, log_omega0=-3.0))
+        gen = model.make_device_generator("Lognormal")
+        assert gen.precompile(ex) is None  # same gate through the LRT hook
