@@ -1379,10 +1379,29 @@ class GPModelling:
             return gen_bound
 
         # non-Gaussian: the generation stays a host-chunked loop around
-        # the E13 lock-step chunk program; expose that program's entry
-        # precompile so the LRT can overlap its (large) compile with the
-        # observed fits (simulator/core.py precompile_batch)
-        gen.precompile = lambda executor: simulator.precompile_batch(executor)
+        # the E13 lock-step chunk program; expose the entry precompile
+        # so the LRT can overlap the path's two big compiles — the chunk
+        # program (simulator/core.py precompile_batch) and the batched
+        # PSD evaluation (a (B, n_freq) f64 program the Gaussian path
+        # fuses into gen_m) — with the observed fits.  Lowers stay on
+        # the caller's thread (cache-key determinism, lrt.py entry
+        # notes); only backend compiles go to the pool.
+        ndim = self._ndim
+
+        def _precompile(executor, B=None):
+            fut = simulator.precompile_batch(executor)
+            if B is not None:
+                try:
+                    psd_lowered = psd_batch.lower(
+                        jax.ShapeDtypeStruct((B, ndim), jnp.float64)
+                    )
+                except Exception:
+                    psd_lowered = None
+                if psd_lowered is not None:
+                    executor.submit(psd_lowered.compile)
+            return fut
+
+        gen.precompile = _precompile
         return gen
 
     def generate_batch_from_posteriors(

@@ -869,12 +869,13 @@ def protassov_lrt(
             if gen_lowered is not None:
                 pre_pool.submit(gen_lowered.compile)
         else:
-            # non-Gaussian: the E13 lock-step chunk program is the one
-            # big compile of the generation path — start it now (the
-            # host-chunked loop around it re-dispatches per chunk and
-            # hits the warm cache); measured cold cost of leaving it
-            # lazy: ~158 s serialized after the observed fits
-            gen.precompile(pre_pool)
+            # non-Gaussian: the E13 lock-step chunk program and the
+            # batched PSD program are the generation path's big
+            # compiles — start them now (the host-chunked loop around
+            # them re-dispatches per chunk and hits the warm cache);
+            # measured cold cost of leaving them lazy: ~158 s
+            # serialized after the observed fits
+            gen.precompile(pre_pool, B=min(nsims, chunk, _GEN_CAP))
         if refine_f64:
             n_chunks_pre = -(-n_rows // chunk)
             nb_last = n_rows - (n_chunks_pre - 1) * chunk
