@@ -1343,7 +1343,10 @@ class GPModelling:
 
         def gen(k_sim, k_noise, thetas):
             psd_values = psd_batch(jnp.asarray(thetas))
-            rates = simulator.simulate_batch(k_sim, psd_values)
+            # non-convergence counts accumulate device-side; the caller
+            # reports once at the end of the run (gen.report_nonconverged)
+            # so the chunk loop stays sync-free
+            rates = simulator.simulate_batch(k_sim, psd_values, warn_nonconverged=False)
             return simulator.add_noise_batch(k_noise, rates)
 
         if pdf.lower() == "gaussian":
@@ -1376,6 +1379,7 @@ class GPModelling:
             gen_bound.lower = lambda k1, k2, th: gen_m.lower(
                 k1, k2, th, jax.ShapeDtypeStruct((), jnp.float64)
             )
+            gen_bound.report_nonconverged = lambda warn=True: 0  # no E13 loop
             return gen_bound
 
         # non-Gaussian: the generation stays a host-chunked loop around
@@ -1388,20 +1392,53 @@ class GPModelling:
         # notes); only backend compiles go to the pool.
         ndim = self._ndim
 
-        def _precompile(executor, B=None):
-            fut = simulator.precompile_batch(executor)
-            if B is not None:
-                try:
-                    psd_lowered = psd_batch.lower(
-                        jax.ShapeDtypeStruct((B, ndim), jnp.float64)
+        def _warn_on_fail(name):
+            # a pool-side compile failure would otherwise be swallowed
+            # and the big lazy compile silently reappear mid-pipeline
+            # (~158 s serialized after the observed fits, measured) — at
+            # least say so (ADVICE r4 #2)
+            def cb(fut):
+                exc = fut.exception()
+                if exc is not None:
+                    warnings.warn(
+                        f"entry precompile of the {name} program failed "
+                        f"({type(exc).__name__}: {exc}); it will compile "
+                        "lazily on first dispatch"
                     )
+
+            return cb
+
+        def _precompile(executor, B=None, mesh=None):
+            futs = []
+            fut = simulator.precompile_batch(executor)
+            if fut is not None:
+                fut.add_done_callback(_warn_on_fail("E13 chunk"))
+                futs.append(fut)
+            if B is not None:
+                # mirror the runtime sharding (ADVICE r4 #1): the LRT
+                # shards the theta draws over the mesh, and sharding is
+                # part of the compiled signature — an unsharded dummy
+                # would seed a program the real batch-sharded call never
+                # hits (and the big lazy compile would return)
+                if mesh is not None and B % mesh.size == 0:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)[0], None))
+                    th_aval = jax.ShapeDtypeStruct((B, ndim), jnp.float64, sharding=sharding)
+                else:
+                    th_aval = jax.ShapeDtypeStruct((B, ndim), jnp.float64)
+                try:
+                    psd_lowered = psd_batch.lower(th_aval)
                 except Exception:
                     psd_lowered = None
                 if psd_lowered is not None:
-                    executor.submit(psd_lowered.compile)
-            return fut
+                    fut = executor.submit(psd_lowered.compile)
+                    fut.add_done_callback(_warn_on_fail("batched PSD"))
+                    futs.append(fut)
+            return futs
 
         gen.precompile = _precompile
+        gen.report_nonconverged = simulator.report_nonconverged
         return gen
 
     def generate_batch_from_posteriors(
@@ -1435,4 +1472,5 @@ class GPModelling:
             )
             noisy_out.append(np.asarray(noisy))
             dy_out.append(np.asarray(dy))
+        gen.report_nonconverged()  # one end-of-run E13 non-convergence warning
         return np.concatenate(noisy_out), np.concatenate(dy_out)

@@ -874,8 +874,12 @@ def protassov_lrt(
             # compiles — start them now (the host-chunked loop around
             # them re-dispatches per chunk and hits the warm cache);
             # measured cold cost of leaving them lazy: ~158 s
-            # serialized after the observed fits
-            gen.precompile(pre_pool, B=min(nsims, chunk, _GEN_CAP))
+            # serialized after the observed fits.  The mesh rides along
+            # so the PSD dummy carries the sharding the real
+            # batch-sharded theta chunks will have (ADVICE r4 #1).
+            gen.precompile(
+                pre_pool, B=min(nsims, chunk, _GEN_CAP), mesh=fitter_null.mesh
+            )
         if refine_f64:
             n_chunks_pre = -(-n_rows // chunk)
             nb_last = n_rows - (n_chunks_pre - 1) * chunk
@@ -1215,6 +1219,10 @@ def protassov_lrt(
         if matched_estimator:
             ll0_obs, ll1_obs = null_lls[-1], alt_lls[-1]
             null_lls, alt_lls = null_lls[:-1], alt_lls[:-1]
+        # one end-of-run fetch of the E13 non-convergence count (the
+        # device queue is drained by now); warns like the reference's
+        # per-lightcurve message (simulator.py:126-127)
+        gen.report_nonconverged()
         _mark("bootstrap results fetched")
 
     # 4. T distribution and p-values (reference nb: percentileofscore)

@@ -520,4 +520,99 @@ def test_precompile_batch_gating():
         )
         model = GPModelling(lc, DampedRandomWalk(log_S0=1.0, log_omega0=-3.0))
         gen = model.make_device_generator("Lognormal")
-        assert gen.precompile(ex) is None  # same gate through the LRT hook
+        # same gate through the LRT hook: no chunk program to compile
+        # (B=None also skips the PSD lower) -> no futures submitted
+        assert gen.precompile(ex) == []
+
+
+def test_precompile_batch_positive_path(monkeypatch):
+    """The positive (TPU-gated) path: precompile_batch must compile the
+    SAME jit instance ``simulate_batch`` later dispatches, lowered at the
+    chunk width ``_e13_chunk_default`` picks — a chunk-default or aval
+    drift between the two would silently regress to a lazy compile
+    (ADVICE r4 #3).  The backend gate is monkeypatched and the pipeline
+    built with the XLA sort (CPU cannot lower Mosaic) — the Mosaic
+    kernel itself is covered by the on-chip gate (tests/test_tpu_onchip)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mind_the_gaps_tpu.simulator import core as score
+
+    times = np.arange(0, 9000, 1.0)
+    psd_model = psd_models.BendingPowerlaw(S0=5.0, omega0=np.exp(-3))
+    simu = Simulator(
+        psd_model, times, 1.0, 7.0, "Lognormal", extension_factor=1.05,
+        aliasing_factor=1, random_state=7, max_iter=3,
+    )
+    assert simu._e13_cut_len > 8192  # the gate's cut-length arm is real here
+
+    built, lowered_shapes, dispatches = [], [], []
+    orig_build = Simulator._build_chunk_pipeline
+
+    class PipeProxy:
+        def __init__(self, pipe):
+            self._pipe = pipe
+
+        def __call__(self, *a):
+            dispatches.append(tuple(x.shape for x in a[:2]))
+            return self._pipe(*a)
+
+        def lower(self, *avals):
+            lowered_shapes.append(tuple(a.shape for a in avals[:2]))
+            return self._pipe.lower(*avals)
+
+    def fake_build(self, sort_impl):
+        built.append(sort_impl)
+        return PipeProxy(orig_build(self, "xla"))
+
+    monkeypatch.setattr(Simulator, "_build_chunk_pipeline", fake_build)
+    monkeypatch.setattr(score.jax, "default_backend", lambda: "tpu")
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = simu.precompile_batch(ex)
+        assert fut is not None
+        fut.result(timeout=300)  # compile failure would raise here
+    pipe = simu._chunk_pipeline
+    assert pipe is not None and built == ["pallas"]
+    chunk = simu._e13_chunk_default()
+    assert len(lowered_shapes) == 1
+    assert lowered_shapes[0][0][0] == chunk  # keys aval leading dim
+    assert lowered_shapes[0][1] == (chunk, simu.omega.shape[0])
+
+    psd_b = np.tile(np.asarray(simu._psd_values())[None], (3, 1))
+    out = simu.simulate_batch(jax.random.key(0), psd_b, warn_nonconverged=False)
+    simu.report_nonconverged(warn=False)  # max_iter=3: expected non-converged
+    assert out.shape == (3, len(times))
+    # the dispatch reused the precompiled instance at EXACTLY the
+    # lowered shapes (ragged rows pad to the chunk width) and did not
+    # fall back / rebuild
+    assert simu._chunk_pipeline is pipe
+    assert dispatches == lowered_shapes
+
+
+def test_simulate_batch_nonconvergence_diagnostic():
+    """VERDICT r4 weak #6 / ask #8: the batched E13 path must surface
+    sims that hit max_iter (the reference warns per lightcurve,
+    simulator.py:126-127) instead of clamping silently."""
+    times = np.arange(0, 600, 1.0)
+    psd_model = psd_models.BendingPowerlaw(S0=5.0, omega0=np.exp(-3))
+    simu = Simulator(
+        psd_model, times, 1.0, 7.0, "Lognormal", extension_factor=1.05,
+        aliasing_factor=1, random_state=11, max_iter=1,
+    )
+    psd_b = np.tile(np.asarray(simu._psd_values())[None], (4, 1))
+    with pytest.warns(UserWarning, match="4 simulated lightcurve\\(s\\) did not converge"):
+        simu.simulate_batch(jax.random.key(1), psd_b)
+    # the counter resets after each report
+    assert simu.report_nonconverged(warn=False) == 0
+
+    # warn_nonconverged=False defers: the count accumulates device-side
+    # and is surfaced by an explicit report (the LRT's end-of-bootstrap
+    # fetch)
+    simu.simulate_batch(jax.random.key(2), psd_b, warn_nonconverged=False)
+    simu.simulate_batch(jax.random.key(3), psd_b, warn_nonconverged=False)
+    with pytest.warns(UserWarning, match="8 simulated lightcurve"):
+        assert simu.report_nonconverged() == 8
+
+    # the single-lightcurve API keeps the reference's per-lc warning
+    with pytest.warns(UserWarning, match="did not converge after 1 iterations"):
+        simu.generate_lightcurve()
