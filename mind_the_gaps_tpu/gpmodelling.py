@@ -657,8 +657,25 @@ class GPModelling:
         return initial_samples
 
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _shard_tag(a):
+        """Short description of a (non-trivial) array sharding: sharding
+        is part of a compiled program's signature, so the mesh-sharded
+        segment programs must memoize separately from the single-device
+        ones (derive_posteriors mesh mode)."""
+        s = getattr(a, "sharding", None)
+        if s is None or not hasattr(s, "spec"):
+            return ""
+        try:
+            return str(s.spec)
+        except Exception:  # pragma: no cover
+            return "?"
+
     def _segment_sig(self, fast: bool, n_steps: int, state, chain_buf):
-        return (bool(fast), int(n_steps), state.shape, chain_buf.shape, str(chain_buf.dtype))
+        return (
+            bool(fast), int(n_steps), state.shape, chain_buf.shape,
+            str(chain_buf.dtype), self._shard_tag(state), self._shard_tag(chain_buf),
+        )
 
     def _segment_lower(self, fast: bool, n_steps: int, key, state, chain_buf, lp_buf):
         """Trace+lower one segment program (no backend compile).
@@ -774,6 +791,22 @@ class GPModelling:
                 self._segment_execs[sig] = seg
         return seg
 
+    def _segment_mesh_ok(self, mesh, lead: int) -> bool:
+        """Mesh mode shards the leading chain axis (walkers, or chains
+        when running multi-chain lanes); it needs that axis to divide
+        the device count."""
+        return mesh is not None and getattr(mesh, "size", 1) > 1 and lead % mesh.size == 0
+
+    def _segment_shardings(self, mesh, state_ndim: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = tuple(mesh.axis_names)[0]
+        return (
+            NamedSharding(mesh, P(ax, *([None] * (state_ndim - 1)))),
+            NamedSharding(mesh, P(None, ax, None)),
+            NamedSharding(mesh, P(None, ax)),
+        )
+
     def precompile_sampler(
         self,
         executor,
@@ -781,6 +814,7 @@ class GPModelling:
         convergence_steps: int = 500,
         walkers: int = 12,
         fast: Optional[bool] = None,
+        mesh=None,
     ):
         """Start the derive_posteriors segment-program compile on a
         worker thread.  On a remote-compile runtime the segment programs
@@ -804,9 +838,17 @@ class GPModelling:
         # remote runtime.
         dt = jnp.float32 if fast else jnp.float64
         key_aval = jax.eval_shape(lambda: jax.random.key(0))
-        state = jax.ShapeDtypeStruct((walkers, self._ndim), dt)
-        chain_buf = jax.ShapeDtypeStruct((max_steps, walkers, self._ndim), dt)
-        lp_buf = jax.ShapeDtypeStruct((max_steps, walkers), dt)
+        if self._segment_mesh_ok(mesh, walkers):
+            # mirror derive_posteriors' mesh mode: sharding is part of
+            # the compiled signature, so the dummy avals must carry it
+            st_s, cb_s, lb_s = self._segment_shardings(mesh, 2)
+            state = jax.ShapeDtypeStruct((walkers, self._ndim), dt, sharding=st_s)
+            chain_buf = jax.ShapeDtypeStruct((max_steps, walkers, self._ndim), dt, sharding=cb_s)
+            lp_buf = jax.ShapeDtypeStruct((max_steps, walkers), dt, sharding=lb_s)
+        else:
+            state = jax.ShapeDtypeStruct((walkers, self._ndim), dt)
+            chain_buf = jax.ShapeDtypeStruct((max_steps, walkers, self._ndim), dt)
+            lp_buf = jax.ShapeDtypeStruct((max_steps, walkers), dt)
         steps = min(convergence_steps, max_steps)
         sig = self._segment_sig(fast, steps, state, chain_buf)
         try:
@@ -840,6 +882,7 @@ class GPModelling:
         seed: Optional[int] = None,
         fast: Optional[bool] = None,
         chains: int = 1,
+        mesh=None,
     ):
         """Ensemble MCMC with the reference's convergence policy
         (gpmodelling.py:197-286): every ``convergence_steps`` compute the
@@ -868,7 +911,19 @@ class GPModelling:
         pooled chain is exposed as chains*walkers walkers (tau averages
         over all of them; ``get_rstat`` then measures cross-ensemble
         mixing).  ``initial_chain_params`` may be (chains, walkers,
-        ndim); a (walkers, ndim) array with chains > 1 is an error."""
+        ndim); a (walkers, ndim) array with chains > 1 is an error.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — shard the leading
+        chain axis (walkers, or chains in multi-chain mode) over the
+        devices, so one observed fit uses the whole pod instead of one
+        chip (the reference's walker Pool, gpmodelling.py:245).  The
+        RNG is sharding-invariant (partitionable threefry), so the
+        sampled chains are BIT-IDENTICAL to the single-device run
+        (tests/test_mesh_observed_fits.py); only the walker-averaged
+        tau reduction order may differ in the last ulp.  Ignored (with
+        a warning) when the leading axis does not divide the device
+        count.  ``protassov_lrt`` passes the default mesh when more
+        than one device is present."""
         if seed is not None:
             self._key = jax.random.key(seed)
         if chains < 1:
@@ -930,6 +985,18 @@ class GPModelling:
         state = jnp.asarray(initial_chain_params, dtype=seg_dtype)
         chain_buf = jnp.zeros((max_steps, pooled, self._ndim), dtype=seg_dtype)
         lp_buf = jnp.zeros((max_steps, pooled), dtype=seg_dtype)
+        if mesh is not None:
+            if self._segment_mesh_ok(mesh, state.shape[0]):
+                st_s, cb_s, lb_s = self._segment_shardings(mesh, state.ndim)
+                state = jax.device_put(state, st_s)
+                chain_buf = jax.device_put(chain_buf, cb_s)
+                lp_buf = jax.device_put(lp_buf, lb_s)
+            else:
+                warnings.warn(
+                    "derive_posteriors mesh mode needs the leading chain axis "
+                    f"({state.shape[0]}) to divide the device count "
+                    f"({getattr(mesh, 'size', 1)}); running unsharded"
+                )
 
         def dispatch(fast_, carry, iteration, steps):
             # The FIRST fast-path compile doubles as the Pallas -> XLA
@@ -1002,6 +1069,12 @@ class GPModelling:
 
         key, state, chain_buf, lp_buf = out[:4]
         self._key = key
+        # sharding of the final device buffers, kept for introspection
+        # (dryrun_multichip / tests assert the mesh really partitioned
+        # the segment program end to end before the host fetch below)
+        self._last_segment_sharding = (
+            tuple(chain_buf.shape), getattr(chain_buf, "sharding", None)
+        )
         # float64 on fetch: API parity with emcee's f64 chains (the f32
         # fast path's values are preserved exactly; reported loglikes are
         # f64-recomputed below)

@@ -794,6 +794,14 @@ def protassov_lrt(
     key = jax.random.key(seed)
     sim_dtype = None if sim_dtype is None else jnp.dtype(sim_dtype)
     refine_f64 = sim_dtype is not None and sim_dtype != jnp.dtype(np.float64)
+    # observed fits use the mesh too when one is available (the
+    # reference's walker Pool, gpmodelling.py:245): derive_posteriors'
+    # mesh mode shards the walker axis and is bit-identical to the
+    # single-device run (sharding-invariant RNG); it gates itself off
+    # when the walker count does not divide the device count.
+    obs_mesh = default_mesh() if len(jax.devices()) > 1 else None
+    if obs_mesh is not None and observed_walkers % obs_mesh.size != 0:
+        obs_mesh = None  # derive_posteriors would gate it off anyway
     dy_obs = np.asarray(
         lightcurve.dy if lightcurve.dy is not None else np.zeros(lightcurve.n),
         dtype=np.float64,
@@ -933,7 +941,7 @@ def protassov_lrt(
             if need:
                 model.precompile_sampler(
                     pre_pool, max_steps=observed_max_steps,
-                    walkers=observed_walkers, fast=observed_fast,
+                    walkers=observed_walkers, fast=observed_fast, mesh=obs_mesh,
                 )
                 if fit_observed:
                     # the MAP objective was lowered at construction;
@@ -952,7 +960,7 @@ def protassov_lrt(
     # (seed+101 / seed+102).
     obs_kwargs = dict(
         fit=fit_observed, max_steps=observed_max_steps, walkers=observed_walkers,
-        progress=progress, fast=observed_fast,
+        progress=progress, fast=observed_fast, mesh=obs_mesh,
     )
     if need_null and need_alt:
         from concurrent.futures import ThreadPoolExecutor
