@@ -125,9 +125,12 @@ def _host_isa_fingerprint() -> str:
     machine-independent, so the split only costs a re-warm when the
     driver host's CPU generation changes.
 
-    The basis also includes the CPU model name and core count: XLA's
-    AOT tuning pseudo-features (``prefer-no-gather``/``prefer-no-scatter``)
-    follow the detected CPU model.
+    The basis also includes the CPU model name and core count, since
+    XLA's codegen tuning follows the detected model.  NOTE the
+    ``prefer-no-gather``/``prefer-no-scatter`` loader warnings are NOT
+    evidence of a cross-host load: they fire on every XLA:CPU cache
+    load, same-host included (see ``_logfilter.py``) — round 4
+    misattributed them to fingerprint misses.
     """
     import platform
     import zlib
@@ -183,6 +186,17 @@ if (
                 _shutil.rmtree(_p, ignore_errors=True)
     except OSError:
         pass
+
+# Every XLA:CPU cache LOAD logs a bogus feature-mismatch ERROR for the
+# prefer-no-scatter/gather tuning pseudo-features — even for an
+# artifact this host wrote moments ago (upstream: the loader compares
+# against LLVM host detection, which never reports tuning
+# pseudo-features), and regardless of WHICH cache dir is configured.
+# Filter exactly those lines; real-ISA mismatch lines pass through.
+# See _logfilter.py; MTG_TPU_NO_LOG_FILTER=1 disables.
+from mind_the_gaps_tpu import _logfilter as _logfilter  # noqa: E402
+
+_logfilter.install()
 
 __version__ = "0.1.0"
 
