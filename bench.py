@@ -20,7 +20,13 @@ single-chip number (stated as scaled: x (10000/512) chunks);
 v5e-8 target (the simulation axis is embarrassingly parallel and the
 sharded path is exercised by __graft_entry__.dryrun_multichip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...},
+ALWAYS — every phase after the primary metric is time-boxed against a
+wall-clock budget (MTG_BENCH_BUDGET, default 450 s; the driver's cap is
+~600); phases that time out or are not reached are listed under
+"skipped" and a watchdog emits a fallback record even if the first
+device interaction wedges (round-8 measured cold+contended runs blowing
+past 590 s).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 denominator is MEASURED by benchmarks/cpu_baseline.py (round 3): the
@@ -36,7 +42,9 @@ target refers to a v5e-8).
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -48,8 +56,89 @@ import jax.numpy as jnp
 # max(88.1 measured, 670 published) evals/s/core x 12 cores
 CPU_PIPELINE_BASELINE_EVALS_PER_SEC = 8_040.0
 
+# The driver runs bench.py under a wall-clock budget; a cold compile
+# cache in a contended pool phase has blown past 590 s twice (round-8
+# notes).  Every phase after the primary metric is therefore OPTIONAL:
+# it runs on a daemon thread with a deadline, the first timeout skips
+# everything after it, and the JSON line is emitted no matter what —
+# with a "skipped" key naming what was dropped.  os._exit guarantees a
+# hung remote call cannot keep the process (and the round artifact)
+# hostage.
+BENCH_BUDGET_SECONDS = float(os.environ.get("MTG_BENCH_BUDGET", "450"))
+_T0 = time.monotonic()
+
+
+def _remaining(reserve: float = 20.0) -> float:
+    return BENCH_BUDGET_SECONDS - (time.monotonic() - _T0) - reserve
+
+
+def _run_phase(name, fn, results, skipped, timeout=None):
+    """Run one optional bench phase with a deadline.  Returns False when
+    the phase timed out — the device queue is then likely wedged or
+    contended, so the caller stops scheduling further device phases."""
+    budget = _remaining()
+    if timeout is not None:
+        budget = min(budget, timeout)
+    if budget <= 5.0:
+        skipped.append({"phase": name, "reason": "budget exhausted"})
+        return False
+    box = {}
+
+    def run():
+        try:
+            box["out"] = fn()
+        except Exception as e:  # noqa: BLE001 — recorded, never fatal
+            box["err"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=run, daemon=True, name=f"bench-{name}")
+    th.start()
+    th.join(budget)
+    if th.is_alive():
+        skipped.append({"phase": name, "reason": f"timed out after {budget:.0f}s"})
+        return False
+    if "err" in box:
+        skipped.append({"phase": name, "reason": box["err"]})
+        return True  # the phase failed fast; later phases may still fit
+    results.update(box.get("out") or {})
+    return True
+
+
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _emit(record) -> None:
+    """Print the one JSON line exactly once (main path or watchdog)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        print(json.dumps(record))
+        sys.stdout.flush()
+
+
+def _watchdog():
+    """If even the primary metric hasn't produced a line by the budget
+    (a wedged first device interaction / remote compile), emit a
+    fallback record so the driver artifact still parses, and exit 0."""
+    delay = BENCH_BUDGET_SECONDS - (time.monotonic() - _T0)
+    if delay > 0:
+        time.sleep(delay)
+    _emit(
+        {
+            "metric": "GP loglike evals/sec (N=5k, DRW+QPO kernel, f32 path, f64-checked)",
+            "value": 0.0,
+            "unit": "evals/s",
+            "vs_baseline": 0.0,
+            "skipped": [{"phase": "primary", "reason": f"budget ({BENCH_BUDGET_SECONDS:.0f}s) exceeded"}],
+        }
+    )
+    os._exit(0)
+
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True, name="bench-watchdog").start()
     from mind_the_gaps_tpu.kernels import DampedRandomWalk, Lorentzian
     from mind_the_gaps_tpu.solver.batched import batched_log_likelihood
 
@@ -76,13 +165,11 @@ def main():
     )
     max_err = float(np.max(np.abs(ll64 - ll32)))
     if not np.all(np.isfinite(ll64)) or max_err > 1.0:
-        print(
-            json.dumps(
-                {"metric": "GP loglike evals/sec (N=5k)", "value": 0.0, "unit": "evals/s",
-                 "vs_baseline": 0.0, "error": f"f32/f64 mismatch {max_err}"}
-            )
+        _emit(
+            {"metric": "GP loglike evals/sec (N=5k)", "value": 0.0, "unit": "evals/s",
+             "vs_baseline": 0.0, "error": f"f32/f64 mismatch {max_err}"}
         )
-        sys.exit(1)
+        os._exit(1)
 
     # --- throughput sweep (f32 fast path) ---------------------------- #
     batch = 65536
@@ -147,20 +234,37 @@ def main():
 
     evals_per_sec = batch * reps / elapsed
 
-    # --- bootstrap chunk wall-clock (BASELINE.md primary metric #2) --- #
-    boot = _bootstrap_chunk_seconds(t, y, diag)
-    boot.update(_e13_generation_rate())
-    boot.update(_derive_posteriors_seconds(t, y, diag))
-    boot.update(_lrt_512_measured_seconds(t))
-
     record = {
         "metric": "GP loglike evals/sec (N=5k, DRW+QPO kernel, f32 path, f64-checked)",
         "value": round(evals_per_sec, 1),
         "unit": "evals/s",
         "vs_baseline": round(evals_per_sec / CPU_PIPELINE_BASELINE_EVALS_PER_SEC, 2),
     }
-    record.update(boot)
-    print(json.dumps(record))
+
+    # --- optional phases, in increasing cost, each time-boxed -------- #
+    skipped: list = []
+    phases = [
+        ("bootstrap_chunk", lambda: _bootstrap_chunk_seconds(t, y, diag)),
+        ("e13_generation", _e13_generation_rate),
+        ("derive_posteriors", lambda: _derive_posteriors_seconds(t, y, diag)),
+        # the full measured LRT re-enters programs the chunk phase
+        # compiled; it is the most expensive and the most skippable
+        ("lrt_512", lambda: _lrt_512_measured_seconds(t)),
+    ]
+    for i, (name, fn) in enumerate(phases):
+        if not _run_phase(name, fn, record, skipped):
+            # a timeout means the device queue is wedged or the budget
+            # is gone — later phases would only queue behind it
+            skipped.extend(
+                {"phase": later, "reason": "not attempted"}
+                for later, _ in phases[i + 1:]
+            )
+            break
+    record["skipped"] = skipped
+    _emit(record)
+    # daemon phase threads may still hold a wedged remote call — exit
+    # hard so the driver always gets rc=0 with the line above
+    os._exit(0)
 
 
 def _bootstrap_chunk_seconds(t, y, diag, chunk_sims=512, walkers=12, n_steps=500, nsims_total=10_000):
