@@ -95,6 +95,71 @@ jax.distributed.shutdown()
 """
 
 
+_CHILD_E13 = r"""
+import json, sys
+import numpy as np
+
+pid, nproc, port, outfile = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+)
+
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental import multihost_utils
+
+from mind_the_gaps_tpu.kernels import DampedRandomWalk
+from mind_the_gaps_tpu.simulator import Simulator
+
+devices = sorted(jax.devices(), key=lambda d: d.id)
+assert len(devices) == 4 * nproc, devices
+mesh = Mesh(np.array(devices), ("batch",))
+sharding = NamedSharding(mesh, P("batch", None))
+
+# deterministic global problem, identical in every process (the
+# reference's generation Pool fan-out, gpmodelling.py:511)
+rng = np.random.default_rng(0)
+n_points, n_sims = 64, 16
+t = np.cumsum(rng.uniform(1.0, 3.0, n_points))
+kernel = DampedRandomWalk(log_S0=1.0, log_omega0=-2.0)
+theta0 = np.asarray(kernel.get_parameter_vector())
+sim = Simulator(
+    lambda w: np.asarray(kernel.get_psd(jnp.asarray(w), jnp.asarray(theta0))),
+    t, exposures=0.5, mean=10.0, pdf="Lognormal", extension_factor=1.2,
+    max_iter=50,
+)
+omega = np.asarray(sim.omega)
+thetas = theta0[None, :] + 0.1 * rng.standard_normal((n_sims, kernel.ndim))
+psd_b = np.stack([
+    np.concatenate([[0.0], np.asarray(kernel.get_psd(jnp.asarray(omega[1:]), jnp.asarray(th)))])
+    for th in thetas
+])
+
+# each process materializes ONLY its addressable shards of the PSD
+# batch; the E13 lock-step while-loop's convergence test becomes a
+# global cross-process reduce GSPMD inserts
+gpsd = jax.make_array_from_callback(psd_b.shape, sharding, lambda idx: psd_b[idx])
+rates = sim.simulate_batch(jax.random.key(1), gpsd, warn_nonconverged=False)
+
+# the generated lightcurves must come back PARTITIONED (each process
+# computed only its sims), not replicated
+local = [s.data.shape for s in rates.addressable_shards]
+assert len(local) == 4 and all(sh == (n_sims // (4 * nproc), len(t)) for sh in local), local
+nonconv = sim.report_nonconverged(warn=False)  # replicated-scalar fetch
+
+full = np.asarray(multihost_utils.process_allgather(rates, tiled=True))
+assert full.shape == (n_sims, len(t))
+if pid == 0:
+    with open(outfile, "w") as fh:
+        json.dump({"rates": full.tolist(), "nonconv": int(nonconv)}, fh)
+jax.distributed.shutdown()
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -103,7 +168,7 @@ def _free_port() -> int:
     return port
 
 
-def _spawn_pair(outfile, cache_dir: str = ""):
+def _spawn_pair(outfile, cache_dir: str = "", script: str = _CHILD):
     """Run the 2-process distributed child pair; return pid-0's result."""
     port = _free_port()
     env = dict(os.environ)
@@ -112,7 +177,7 @@ def _spawn_pair(outfile, cache_dir: str = ""):
     argv_tail = [str(port), str(outfile)] + ([cache_dir] if cache_dir else [])
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _CHILD, str(pid), "2"] + argv_tail,
+            [sys.executable, "-c", script, str(pid), "2"] + argv_tail,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)
@@ -165,6 +230,53 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     np.testing.assert_allclose(dist_lp, np.asarray(ref_lp), rtol=0, atol=1e-10)
     np.testing.assert_allclose(dist_x, np.asarray(ref_x), rtol=0, atol=1e-10)
     assert np.all(np.isfinite(dist_lp))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+def test_two_process_e13_generation_matches_single_process(tmp_path):
+    """The reference's OTHER Pool fan-out is posterior-predictive
+    generation (gpmodelling.py:511); its non-Gaussian (E13) branch runs
+    the lock-step PDF-adjustment while-loop.  Across 2 processes the
+    loop's convergence test is a cross-process reduce — the generated
+    lightcurves must still be BIT-IDENTICAL to the single-process
+    8-device run (per-sim randomness keys off the split key, not the
+    process layout)."""
+    dist = _spawn_pair(tmp_path / "e13_result.json", script=_CHILD_E13)
+    dist_rates = np.asarray(dist["rates"])
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mind_the_gaps_tpu.kernels import DampedRandomWalk
+    from mind_the_gaps_tpu.simulator import Simulator
+
+    rng = np.random.default_rng(0)
+    n_points, n_sims = 64, 16
+    t = np.cumsum(rng.uniform(1.0, 3.0, n_points))
+    kernel = DampedRandomWalk(log_S0=1.0, log_omega0=-2.0)
+    theta0 = np.asarray(kernel.get_parameter_vector())
+    sim = Simulator(
+        lambda w: np.asarray(kernel.get_psd(jnp.asarray(w), jnp.asarray(theta0))),
+        t, exposures=0.5, mean=10.0, pdf="Lognormal", extension_factor=1.2,
+        max_iter=50,
+    )
+    omega = np.asarray(sim.omega)
+    thetas = theta0[None, :] + 0.1 * rng.standard_normal((n_sims, kernel.ndim))
+    psd_b = np.stack([
+        np.concatenate([[0.0], np.asarray(kernel.get_psd(jnp.asarray(omega[1:]), jnp.asarray(th)))])
+        for th in thetas
+    ])
+
+    devices = sorted(jax.devices(), key=lambda d: d.id)[:8]
+    mesh = Mesh(np.array(devices), ("batch",))
+    gpsd = jax.device_put(jnp.asarray(psd_b), NamedSharding(mesh, P("batch", None)))
+    ref_rates = sim.simulate_batch(jax.random.key(1), gpsd, warn_nonconverged=False)
+    ref_nonconv = sim.report_nonconverged(warn=False)
+
+    assert dist_rates.shape == (n_sims, n_points)
+    assert np.all(np.isfinite(dist_rates))
+    np.testing.assert_array_equal(dist_rates, np.asarray(ref_rates))
+    assert dist["nonconv"] == ref_nonconv
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
