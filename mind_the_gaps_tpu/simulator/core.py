@@ -745,6 +745,10 @@ class Simulator:
                     outs.append(out[:nb])
                 if warn_nonconverged:
                     self.report_nonconverged()
+                # which E13 implementation actually ran (introspection:
+                # the production-scale calibration asserts the Pallas
+                # remap really engaged instead of assuming the gate)
+                self._last_batch_impl = "pallas"
                 return jnp.concatenate(outs, axis=0)
             except Exception:
                 self._chunk_pipeline = None
@@ -759,6 +763,7 @@ class Simulator:
             outs.append(out)
         if warn_nonconverged:
             self.report_nonconverged()
+        self._last_batch_impl = "xla"
         return jnp.concatenate(outs, axis=0)
 
     def precompile_batch(self, executor, chunk: Union[int, None] = None):
