@@ -120,14 +120,18 @@ def test_std_mean_and_variance_TK95():
 
 def test_std_mean_and_variance_E13():
     dt = 1
-    timestamps = np.arange(0, 8500, dt)
+    # 4500-sample span x 64 sims (was 8500 x 100): the span still covers
+    # ~220 bend timescales so the per-sim variance estimate is unbiased,
+    # and the seeded margins are 0.23 (variance) / 0.00 (mean) vs the
+    # < 1-std assertion — measured 27 s vs 61 s (VERDICT r4 #7 trim)
+    timestamps = np.arange(0, 4500, dt)
     variance = 10
     psd_model = psd_models.BendingPowerlaw(S0=variance, omega0=np.exp(-3))
     mean = 10
     simu = Simulator(
         psd_model, timestamps, dt, mean, "Lognormal", extension_factor=1.05, aliasing_factor=1, max_iter=600
     )
-    rates = _batch(simu, 100, seed=4)
+    rates = _batch(simu, 64, seed=4)
     vars_, means = rates.var(axis=1), rates.mean(axis=1)
     assert abs(variance - np.mean(vars_)) < np.std(vars_)
     assert abs(mean - np.mean(means)) < np.std(means)
@@ -418,10 +422,15 @@ def test_powerspec_bendingpowerlaw_E13():
     times = np.arange(0.5, 1000.0, 1.0)
     variance, bendscale = 100.0, 20.0
     psd_model = psd_models.BendingPowerlaw(S0=variance, omega0=2 * np.pi / bendscale)
+    # exposures 0.5 (sim_dt 0.25, E13 cut 4000 vs 10000 at the reference's
+    # 0.2) and 64 sims: the fine grid still resolves the bend (omega0 =
+    # 0.31 rad vs Nyquist 12.6) and the seeded recovery passes with
+    # margin |mean - omega0| / std = 0.76 — measured 80 s vs 304 s on
+    # the CI host (VERDICT r4 #7 suite-runtime trim)
     simu = Simulator(
-        psd_model, times, 0.2, 10, "Lognormal", extension_factor=1.0, aliasing_factor=2, max_iter=600
+        psd_model, times, 0.5, 10, "Lognormal", extension_factor=1.0, aliasing_factor=2, max_iter=600
     )
-    omegas, omega0 = _recover_bend_omegas(simu, times, 96, zlib.crc32(b"bend_e13"), variance, bendscale)
+    omegas, omega0 = _recover_bend_omegas(simu, times, 64, zlib.crc32(b"bend_e13"), variance, bendscale)
     assert abs(np.mean(omegas) - omega0) < np.std(omegas)
 
 
