@@ -64,8 +64,15 @@ CPU_PIPELINE_BASELINE_EVALS_PER_SEC = 8_040.0
 # with a "skipped" key naming what was dropped.  os._exit guarantees a
 # hung remote call cannot keep the process (and the round artifact)
 # hostage.
-BENCH_BUDGET_SECONDS = float(os.environ.get("MTG_BENCH_BUDGET", "450"))
+BENCH_BUDGET_SECONDS = float(os.environ.get("MTG_BENCH_BUDGET", "540"))
 _T0 = time.monotonic()
+
+
+def _mark(msg: str) -> None:
+    """Phase marker on stderr (stdout carries ONLY the JSON line) — lets
+    a blown budget be attributed (entry stall vs compile vs loop) from
+    the driver's captured tail."""
+    print(f"[bench +{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _remaining(reserve: float = 20.0) -> float:
@@ -82,6 +89,7 @@ def _run_phase(name, fn, results, skipped, timeout=None):
     if budget <= 5.0:
         skipped.append({"phase": name, "reason": "budget exhausted"})
         return False
+    _mark(f"phase {name}: start (budget {budget:.0f}s)")
     box = {}
 
     def run():
@@ -153,27 +161,22 @@ def main():
     )
     theta0 = kernel.get_parameter_vector()
 
-    # --- correctness gate: f32 must track f64 on this problem -------- #
+    # --- build every primary-phase program, compile them CONCURRENTLY #
+    # The primary phase serialized 4 distinct compiles (two f64-heavy
+    # gate programs, two 65k-batch sweeps) behind the entry stall —
+    # measured 2026-08-20: two truly-cold runs blew the 450 s budget
+    # before the primary metric existed.  Remote-tunnel compiles have a
+    # tens-of-seconds floor each but overlap almost perfectly
+    # (CLAUDE.md), so: lowers stay serial on THIS thread (persistent-
+    # cache key determinism), only the backend compiles fan out.
+    _mark("imports done")
     thetas_check = jnp.asarray(
         theta0 + 0.05 * np.asarray(jax.random.normal(jax.random.key(7), (8, len(theta0))))
     )
-    c64 = jax.vmap(kernel.coefficients)(thetas_check)
-    ll64 = np.asarray(batched_log_likelihood(c64, t, y, diag))
-    c32 = jax.tree.map(lambda x: x.astype(jnp.float32), c64)
-    ll32 = np.asarray(
-        batched_log_likelihood(c32, t, y.astype(np.float32), diag.astype(np.float32))
-    )
-    max_err = float(np.max(np.abs(ll64 - ll32)))
-    if not np.all(np.isfinite(ll64)) or max_err > 1.0:
-        _emit(
-            {"metric": "GP loglike evals/sec (N=5k)", "value": 0.0, "unit": "evals/s",
-             "vs_baseline": 0.0, "error": f"f32/f64 mismatch {max_err}"}
-        )
-        os._exit(1)
-
-    # --- throughput sweep (f32 fast path) ---------------------------- #
+    _mark("first device interaction done")  # the intermittent entry stall lands here
     batch = 65536
     dtype = jnp.float32
+    t64, y64, d64 = jnp.asarray(t), jnp.asarray(y), jnp.asarray(diag)
     tt = jnp.asarray(t, dtype=dtype)
     yy = jnp.asarray(y, dtype=dtype)
     dd = jnp.asarray(diag, dtype=dtype)
@@ -182,6 +185,17 @@ def main():
     )
 
     from mind_the_gaps_tpu.ops import pallas_log_likelihood
+
+    @jax.jit
+    def gate64(th):
+        return batched_log_likelihood(jax.vmap(kernel.coefficients)(th), t64, y64, d64)
+
+    @jax.jit
+    def gate32(th):
+        c = jax.tree.map(
+            lambda x: x.astype(jnp.float32), jax.vmap(kernel.coefficients)(th)
+        )
+        return batched_log_likelihood(c, tt, yy, dd)
 
     @jax.jit
     def sweep_pallas(th):
@@ -194,9 +208,47 @@ def main():
     def sweep_xla(th):
         return batched_log_likelihood(jax.vmap(kernel.coefficients)(th), tt, yy, dd, unroll=1)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    lowered = []
+    for name, fn, arg in [
+        ("gate64", gate64, thetas_check),
+        ("gate32", gate32, thetas_check),
+        ("pallas", sweep_pallas, thetas),
+        ("xla", sweep_xla, thetas),
+    ]:
+        try:
+            lowered.append((name, fn.lower(arg)))
+        except Exception:
+            lowered.append((name, None))  # e.g. Mosaic lower off-TPU
+    _mark("4 primary programs lowered")
+    compile_ok = {}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [(name, pool.submit(low.compile)) for name, low in lowered if low is not None]
+        for name, fut in futs:
+            try:
+                fut.result()  # seeds the in-process jit fast path
+                compile_ok[name] = True
+            except Exception:
+                compile_ok[name] = False
+            _mark(f"compile {name}: {'ok' if compile_ok[name] else 'FAILED'}")
+
+    # --- correctness gate: f32 must track f64 on this problem -------- #
+    ll64 = np.asarray(gate64(thetas_check))
+    ll32 = np.asarray(gate32(thetas_check))
+    max_err = float(np.max(np.abs(ll64 - ll32)))
+    if not np.all(np.isfinite(ll64)) or max_err > 1.0:
+        _emit(
+            {"metric": "GP loglike evals/sec (N=5k)", "value": 0.0, "unit": "evals/s",
+             "vs_baseline": 0.0, "error": f"f32/f64 mismatch {max_err}"}
+        )
+        os._exit(1)
+
     # prefer the Pallas kernel; fall back to the XLA scan if Mosaic
     # cannot compile on this backend
     try:
+        if not compile_ok.get("pallas"):
+            raise RuntimeError("pallas compile failed")
         out_p = sweep_pallas(thetas)
         out_x = sweep_xla(thetas)
         if float(jnp.max(jnp.abs(out_p - out_x))) > 0.5:
@@ -205,7 +257,9 @@ def main():
     except Exception:
         sweep = sweep_xla
 
+    _mark(f"sweep selected: {'pallas' if sweep is sweep_pallas else 'xla'}")
     float(jnp.sum(sweep(thetas)))  # compile + warmup + drain
+    _mark("sweep warmup drained")
 
     # Measurement rules for this serving runtime: (a) identical input
     # buffers get memoized — use a fresh input per repetition; (b)
@@ -230,7 +284,9 @@ def main():
         return time.perf_counter() - start
 
     timed_loop(500)  # session warmup (discarded)
+    _mark("discarded warmup loop done")
     elapsed = timed_loop(100)
+    _mark("timed loop done")
 
     evals_per_sec = batch * reps / elapsed
 
