@@ -876,6 +876,7 @@ def protassov_lrt(
                 gen_lowered = None
             if gen_lowered is not None:
                 pre_pool.submit(gen_lowered.compile)
+            _mark("gen lowered")
         else:
             # non-Gaussian: the E13 lock-step chunk program and the
             # batched PSD program are the generation path's big
@@ -888,6 +889,7 @@ def protassov_lrt(
             gen.precompile(
                 pre_pool, B=min(nsims, chunk, _GEN_CAP), mesh=fitter_null.mesh
             )
+            _mark("gen lowered")
         if refine_f64:
             n_chunks_pre = -(-n_rows // chunk)
             nb_last = n_rows - (n_chunks_pre - 1) * chunk
@@ -928,6 +930,7 @@ def protassov_lrt(
                     refine_lowered = None
                 if refine_lowered is not None:
                     pre_pool.submit(refine_lowered.compile)
+            _mark("refine lowered")
         if observed_fast is not False and jax.default_backend() == "tpu":
             # derive_posteriors' end-of-run f64 recompute (one padded
             # 4096-row program per model on the fast path)
@@ -935,6 +938,7 @@ def protassov_lrt(
                 null_model.precompile_recompute(pre_pool)
             if need_alt:
                 alt_model.precompile_recompute(pre_pool)
+            _mark("recompute lowered")
         # the observed-fit segment programs: start their compiles now so
         # they overlap the MAP fits and the bootstrap-program compiles
         for model, need in ((null_model, need_null), (alt_model, need_alt)):
@@ -943,6 +947,7 @@ def protassov_lrt(
                     pre_pool, max_steps=observed_max_steps,
                     walkers=observed_walkers, fast=observed_fast, mesh=obs_mesh,
                 )
+                _mark("sampler segment lowered")
                 if fit_observed:
                     # the MAP objective was lowered at construction;
                     # its XLA-CPU compile (~10 s, not reloadable from
