@@ -114,6 +114,33 @@ def _run_phase(name, fn, results, skipped, timeout=None):
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
+# Filled by main() the moment the primary metric exists: if a LATER,
+# non-phase-boxed step wedges (e.g. a fetch on the main thread), the
+# watchdog emits the real measurement instead of a 0.0 fallback.
+_PRIMARY: dict = {}
+
+_LAST_GOOD_PATH = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "mind_the_gaps_tpu", "bench_last_good.json",
+)
+
+
+def _save_last_good(record) -> None:
+    try:
+        os.makedirs(os.path.dirname(_LAST_GOOD_PATH), exist_ok=True)
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump({"measured_at_unix": round(time.time(), 1), **record}, f)
+    except OSError:
+        pass
+
+
+def _load_last_good():
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
 
 def _emit(record) -> None:
     """Print the one JSON line exactly once (main path or watchdog)."""
@@ -133,15 +160,29 @@ def _watchdog():
     delay = BENCH_BUDGET_SECONDS - (time.monotonic() - _T0)
     if delay > 0:
         time.sleep(delay)
-    _emit(
-        {
-            "metric": "GP loglike evals/sec (N=5k, DRW+QPO kernel, f32 path, f64-checked)",
-            "value": 0.0,
-            "unit": "evals/s",
-            "vs_baseline": 0.0,
-            "skipped": [{"phase": "primary", "reason": f"budget ({BENCH_BUDGET_SECONDS:.0f}s) exceeded"}],
-        }
-    )
+    if _PRIMARY:
+        # the primary metric WAS measured; something after it wedged
+        # outside a phase box — report the real number
+        record = dict(_PRIMARY)
+        record["skipped"] = [
+            {"phase": "optional", "reason": "watchdog fired after the primary metric"}
+        ]
+        _emit(record)
+        os._exit(0)
+    record = {
+        "metric": "GP loglike evals/sec (N=5k, DRW+QPO kernel, f32 path, f64-checked)",
+        "value": 0.0,
+        "unit": "evals/s",
+        "vs_baseline": 0.0,
+        "skipped": [{"phase": "primary", "reason": f"budget ({BENCH_BUDGET_SECONDS:.0f}s) exceeded"}],
+    }
+    # a wedged run says nothing about the code — attach the last
+    # successful record from this machine (clearly labeled) so the
+    # artifact distinguishes "pool stall" from "benchmark broken"
+    last = _load_last_good()
+    if last is not None:
+        record["last_known_good"] = last
+    _emit(record)
     os._exit(0)
 
 
@@ -296,6 +337,7 @@ def main():
         "unit": "evals/s",
         "vs_baseline": round(evals_per_sec / CPU_PIPELINE_BASELINE_EVALS_PER_SEC, 2),
     }
+    _PRIMARY.update(record)
 
     # --- optional phases, in increasing cost, each time-boxed -------- #
     skipped: list = []
@@ -317,6 +359,8 @@ def main():
             )
             break
     record["skipped"] = skipped
+    if record["value"] > 0:
+        _save_last_good(record)
     _emit(record)
     # daemon phase threads may still hold a wedged remote call — exit
     # hard so the driver always gets rc=0 with the line above
