@@ -50,9 +50,15 @@ def main():
     ap.add_argument("--observed-walkers", type=int, default=12)
     ap.add_argument("--sim-steps", type=int, default=300)
     ap.add_argument("--pdf", choices=["gaussian", "lognormal"], default="gaussian")
+    ap.add_argument(
+        "--seed", type=int, default=0,
+        help="experiment-batch seed: offsets the observed-data draws and the "
+             "per-experiment LRT seeds, so independent batches can be pooled "
+             "for a higher-K uniformity test",
+    )
     args = ap.parse_args()
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     t0_all = time.time()
 
     n = args.n
@@ -81,7 +87,7 @@ def main():
         sim_obs = Simulator(
             lambda w: np.asarray(null_k0.get_psd(w, theta_true)),
             times, exposures=1.0, mean=10.0, pdf="lognormal",
-            extension_factor=2, random_state=7,
+            extension_factor=2, random_state=7 + args.seed,
         )
 
         def draw_observed():
@@ -97,7 +103,8 @@ def main():
             -1.0, 2.0, -1.5, bounds=[(-8, 5), (0, 6), (-5, 0)]
         )
         res = protassov_lrt(
-            lc, null_kernel, alt_kernel, nsims=args.nsims, seed=1000 + k,
+            lc, null_kernel, alt_kernel, nsims=args.nsims,
+            seed=1000 + k + 100_000 * args.seed,
             observed_max_steps=args.observed_max_steps,
             observed_walkers=args.observed_walkers,
             sim_max_steps=args.sim_steps, chunk=args.nsims + 1,
